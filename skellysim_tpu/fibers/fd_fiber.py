@@ -1,0 +1,602 @@
+"""Batched finite-difference fiber physics.
+
+TPU-native re-design of the reference's per-fiber C++ loops
+(src/core/fiber_finite_difference.cpp, src/core/fiber_container_finite_difference.cpp):
+a *block* of B fibers sharing one node count n is a pytree of (B, ...) arrays,
+and every operation — derivative chains, dense 4n×4n operator assembly,
+rectangular boundary-condition rows, LU preconditioner factor/solve, force
+operator, matvec — is a batched dense-linear-algebra expression the MXU
+executes for the whole block at once. Mixed node counts become a small dict of
+blocks (the reference's own discrete resolution set, matrices.py).
+
+Physics summary (slender-body theory, same equations as the reference):
+  state per fiber is (X, T): positions (n, 3) and tension (n,), solution
+  layout [x; y; z; T] of length 4n. The implicit time step solves
+  A (X^{n+1}, T^{n+1}) = RHS with local SBT drag coefficients
+  c0 = -ln(e ε²)/(8πη), c1 = 1/(4πη) and bending rigidity E; the last 14 rows
+  of A are boundary-condition rows (2 ends × {force/torque | velocity/angular
+  velocity} × {3,1,3} components + tension conditions) after barycentric
+  downsampling of the interior equations
+  (fiber_finite_difference.cpp:97-187, 347-513).
+
+Boundary-condition encoding (per fiber, per step):
+  minus end: CLAMPED (velocity+angular velocity, when bound to a body or
+  `minus_clamped`) or FREE (force+torque)
+  plus end:  HINGED (velocity+torque, when bound to the periphery) or FREE
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from skellysim_tpu.fibers.matrices import fiber_matrices
+from skellysim_tpu.kernels.reference import stokeslet_apply
+
+# boundary-condition codes
+BC_MINUS_FREE = 0      # Force + Torque
+BC_MINUS_CLAMPED = 1   # Velocity + AngularVelocity
+BC_PLUS_FREE = 0       # Force + Torque
+BC_PLUS_HINGED = 1     # Velocity + Torque
+
+
+@struct.dataclass
+class FiberOperators:
+    """Static (replicated) operator set for one node count, on device.
+
+    Derivative matrices act from the left on node-major (n, ...) arrays and
+    are unscaled (canonical alpha in [-1, 1]); physical scaling (2/L)^k is
+    applied per fiber at use sites.
+    """
+
+    D1: jax.Array
+    D2: jax.Array
+    D3: jax.Array
+    D4: jax.Array
+    P_downsample_bc: jax.Array  # (4n-14, 4n)
+    weights: jax.Array          # (n,) alpha-quadrature weights
+    alpha: jax.Array            # (n,)
+
+    @staticmethod
+    def for_node_count(n: int, dtype=jnp.float64) -> "FiberOperators":
+        m = fiber_matrices(n)
+        conv = lambda a: jnp.asarray(a, dtype=dtype)
+        return FiberOperators(
+            D1=conv(m.D1), D2=conv(m.D2), D3=conv(m.D3), D4=conv(m.D4),
+            P_downsample_bc=conv(m.P_downsample_bc), weights=conv(m.weights),
+            alpha=conv(m.alpha),
+        )
+
+
+@struct.dataclass
+class FiberBlock:
+    """A batch of B fibers sharing a node count n. All leaves are (B, ...)."""
+
+    x: jax.Array                # (B, n, 3) node positions
+    tension: jax.Array          # (B, n)
+    length: jax.Array           # (B,) target length
+    length_prev: jax.Array      # (B,) last accepted length
+    bending_rigidity: jax.Array  # (B,)
+    radius: jax.Array           # (B,)
+    force_scale: jax.Array      # (B,) motor force scale (f = fs * xs)
+    penalty_param: jax.Array    # (B,) tension penalty (default 500)
+    beta_tstep: jax.Array       # (B,) inextensibility penalty (default 1)
+    v_growth: jax.Array         # (B,) polymerization velocity
+    binding_body: jax.Array     # (B,) int32, -1 = unbound
+    binding_site: jax.Array     # (B,) int32
+    minus_clamped: jax.Array    # (B,) bool
+
+    @property
+    def n_fibers(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def solution_size(self) -> int:
+        return 4 * self.n_fibers * self.n_nodes
+
+
+@struct.dataclass
+class FiberBlockCache:
+    """Per-step cached quantities for a block (reference's update_cache_variables)."""
+
+    xs: jax.Array       # (B, n, 3)
+    xss: jax.Array
+    xsss: jax.Array
+    xssss: jax.Array
+    c0: jax.Array       # (B,)
+    c1: jax.Array       # (B,)
+    A: jax.Array        # (B, 4n, 4n) BC-applied linear operator
+    A_lu: jax.Array     # (B, 4n, 4n) LU factors of A
+    A_piv: jax.Array    # (B, 4n) pivots
+    force_operator: jax.Array  # (B, 3n, 4n)
+    RHS: jax.Array      # (B, 4n) BC-applied right-hand side
+    bc_minus: jax.Array  # (B,) int BC code
+    bc_plus: jax.Array   # (B,) int BC code
+
+
+def make_fiber_block(
+    x: np.ndarray,
+    lengths,
+    bending_rigidity,
+    radius=0.0125,
+    force_scale=0.0,
+    penalty_param=500.0,
+    beta_tstep=1.0,
+    v_growth=0.0,
+    binding_body=-1,
+    binding_site=-1,
+    minus_clamped=False,
+    dtype=jnp.float64,
+) -> FiberBlock:
+    """Build a block from per-fiber data (scalars broadcast across the batch)."""
+    x = jnp.asarray(x, dtype=dtype)
+    if x.ndim == 2:
+        x = x[None]
+    B = x.shape[0]
+    arr = lambda v, dt=dtype: jnp.broadcast_to(jnp.asarray(v, dtype=dt), (B,))
+    return FiberBlock(
+        x=x,
+        tension=jnp.zeros((B, x.shape[1]), dtype=dtype),
+        length=arr(lengths),
+        length_prev=arr(lengths),
+        bending_rigidity=arr(bending_rigidity),
+        radius=arr(radius),
+        force_scale=arr(force_scale),
+        penalty_param=arr(penalty_param),
+        beta_tstep=arr(beta_tstep),
+        v_growth=arr(v_growth),
+        binding_body=arr(binding_body, jnp.int32),
+        binding_site=arr(binding_site, jnp.int32),
+        minus_clamped=jnp.broadcast_to(jnp.asarray(minus_clamped, dtype=bool), (B,)),
+    )
+
+
+def sbt_constants(block: FiberBlock, eta):
+    """Local slender-body drag coefficients (fiber_finite_difference.hpp:140-144).
+
+    c0 = -ln(e ε²) / (8πη), c1 = 2/(8πη), ε = radius / length.
+    """
+    eps = block.radius / block.length
+    c0 = -jnp.log(jnp.e * eps**2) / (8.0 * jnp.pi * eta)
+    c1 = 2.0 / (8.0 * jnp.pi * eta)
+    return c0, jnp.broadcast_to(c1, c0.shape)
+
+
+def derivatives(block: FiberBlock, ops: FiberOperators):
+    """xs..xssss with (2/L_prev)^k scaling (fiber_finite_difference.cpp:62-68)."""
+    s = 2.0 / block.length_prev
+    dx = lambda D, k: (s**k)[:, None, None] * jnp.einsum("ab,nbc->nac", D, block.x)
+    return dx(ops.D1, 1), dx(ops.D2, 2), dx(ops.D3, 3), dx(ops.D4, 4)
+
+
+def assemble_linear_operator(
+    block: FiberBlock,
+    ops: FiberOperators,
+    xs: jax.Array,
+    xss: jax.Array,
+    xsss: jax.Array,
+    c0: jax.Array,
+    c1: jax.Array,
+    dt,
+) -> jax.Array:
+    """(B, 4n, 4n) implicit-step operator (fiber_finite_difference.cpp:97-187).
+
+    Blocks (i, j ∈ {x, y, z}):
+      A[i][j] = β/dt δ_ij I + E [c0 (δ_ij + xs_i xs_j) + c1 (δ_ij − xs_i xs_j)] D4
+      A[i][T] = −2 c0 diag(xs_i) D1 − (c0+c1) diag(xss_i)
+      A[T][j] = −(c1+7c0) E diag(xss_j) D4 − 6 c0 E diag(xsss_j) D3
+                − p diag(xs_j) D1
+      A[T][T] = −2 c0 D2 + (c0+c1) diag(|xss|²)
+    """
+    n = block.n_nodes
+    B = block.n_fibers
+    s = 2.0 / block.length
+    E = block.bending_rigidity
+    I = jnp.eye(n, dtype=block.x.dtype)
+
+    # scaled derivative operators per fiber: (B, n, n)
+    D1 = s[:, None, None] ** 1 * ops.D1
+    D2 = s[:, None, None] ** 2 * ops.D2
+    D3 = s[:, None, None] ** 3 * ops.D3
+    D4 = s[:, None, None] ** 4 * ops.D4
+
+    bdt = (block.beta_tstep / dt)[:, None, None]
+    c0b = c0[:, None, None]
+    c1b = c1[:, None, None]
+    Eb = E[:, None, None]
+
+    def xyz_block(i, j):
+        # diag(w) @ D4 where w couples tangents
+        prod = xs[:, :, i] * xs[:, :, j]
+        if i == j:
+            w = c0b * (1.0 + prod)[:, :, None] + c1b * (1.0 - prod)[:, :, None]
+            blk = bdt * I + Eb * w * D4
+        else:
+            w = (c0b - c1b) * prod[:, :, None]
+            blk = Eb * w * D4
+        return blk
+
+    def xT_block(i):
+        return (-2.0 * c0b) * xs[:, :, i, None] * D1 - (
+            (c0 + c1)[:, None, None] * jax.vmap(jnp.diag)(xss[:, :, i])
+        )
+
+    def Tx_block(j):
+        return (
+            -(c1 + 7.0 * c0)[:, None, None] * Eb * xss[:, :, j, None] * D4
+            - 6.0 * c0b * Eb * xsss[:, :, j, None] * D3
+            - block.penalty_param[:, None, None] * xs[:, :, j, None] * D1
+        )
+
+    TT = -2.0 * c0b * D2 + (c0 + c1)[:, None, None] * jax.vmap(jnp.diag)(
+        jnp.sum(xss * xss, axis=-1)
+    )
+
+    rows = []
+    for i in range(3):
+        rows.append(jnp.concatenate([xyz_block(i, 0), xyz_block(i, 1), xyz_block(i, 2), xT_block(i)], axis=2))
+    rows.append(jnp.concatenate([Tx_block(0), Tx_block(1), Tx_block(2), TT], axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
+def assemble_force_operator(
+    block: FiberBlock, ops: FiberOperators, xs: jax.Array, xss: jax.Array
+) -> jax.Array:
+    """(B, 3n, 4n) map (X, T) → force density (fiber_finite_difference.cpp:317-335).
+
+    f_i = −E X_i'''' + T X_i'' + T' X_i'  (per component i), i.e. per block:
+      F[i][i] = −E D4,   F[i][T] = diag(xss_i) + diag(xs_i) D1.
+    """
+    n = block.n_nodes
+    s = 2.0 / block.length
+    D1 = s[:, None, None] ** 1 * ops.D1
+    D4 = s[:, None, None] ** 4 * ops.D4
+    negED4 = -block.bending_rigidity[:, None, None] * D4
+    zero = jnp.zeros_like(negED4)
+    rows = []
+    for i in range(3):
+        Ft = jax.vmap(jnp.diag)(xss[:, :, i]) + xs[:, :, i, None] * D1
+        blocks = [zero, zero, zero]
+        blocks[i] = negED4
+        rows.append(jnp.concatenate(blocks + [Ft], axis=2))
+    return jnp.concatenate(rows, axis=1)
+
+
+def update_rhs(
+    block: FiberBlock,
+    ops: FiberOperators,
+    xs: jax.Array,
+    xss: jax.Array,
+    c0: jax.Array,
+    c1: jax.Array,
+    dt,
+    flow: Optional[jax.Array],
+    f_external: Optional[jax.Array],
+) -> jax.Array:
+    """(B, 4n) pre-BC right-hand side (fiber_finite_difference.cpp:198-274).
+
+    RHS_X = X/dt + s_dot xs + u + (c0 (I + xs xsᵀ) + c1 (I − xs xsᵀ)) f
+    RHS_T = −p + d/ds(xs)·u' ... specifically xs·u' + 2 c0 xs·f' + (c0−c1) xss·f
+    with s_dot = (1+α)(v_growth/2) the polymerization stretch term.
+    """
+    B, n = block.n_fibers, block.n_nodes
+    s = 2.0 / block.length
+    D1 = s[:, None, None] * ops.D1  # (B, n, n)
+    s_dot = (1.0 + ops.alpha)[None, :] * (0.5 * block.v_growth)[:, None]
+
+    rhs_xyz = block.x / dt[..., None, None] + s_dot[:, :, None] * xs
+    rhs_T = -block.penalty_param[:, None] * jnp.ones((B, n), block.x.dtype)
+
+    if flow is not None:
+        rhs_xyz = rhs_xyz + flow
+        dflow = jnp.einsum("bab,...->...", jnp.zeros((0, 0, 0)), 0) if False else None
+        du = jnp.einsum("bnm,bmc->bnc", D1, flow)
+        rhs_T = rhs_T + jnp.sum(xs * du, axis=-1)
+    if f_external is not None:
+        f = f_external
+        xsf = jnp.sum(xs * f, axis=-1)  # (B, n)
+        c0b = c0[:, None, None]
+        c1b = c1[:, None, None]
+        rhs_xyz = rhs_xyz + c0b * (f + xsf[:, :, None] * xs) + c1b * (f - xsf[:, :, None] * xs)
+        df = jnp.einsum("bnm,bmc->bnc", D1, f)
+        rhs_T = rhs_T + 2.0 * c0[:, None] * jnp.sum(xs * df, axis=-1)
+        rhs_T = rhs_T + (c0 - c1)[:, None] * jnp.sum(xss * f, axis=-1)
+
+    return jnp.concatenate(
+        [rhs_xyz[:, :, 0], rhs_xyz[:, :, 1], rhs_xyz[:, :, 2], rhs_T], axis=1
+    )
+
+
+def _bc_rows(
+    block: FiberBlock,
+    ops: FiberOperators,
+    xs, xss, c0, c1, dt,
+    bc_minus, bc_plus,
+    v_on_fiber, f_on_fiber,
+):
+    """Build the (B, 14, 4n) boundary-condition row block and its (B, 14) RHS.
+
+    Rectangular BCs (fiber_finite_difference.cpp:347-513): both variants per
+    end are assembled for the whole batch and selected with `where` on the
+    per-fiber BC codes — no data-dependent control flow under jit.
+    """
+    B, n = block.n_fibers, block.n_nodes
+    dtype = block.x.dtype
+    s = 2.0 / block.length
+    D1 = s[:, None, None] ** 1 * ops.D1
+    D2 = s[:, None, None] ** 2 * ops.D2
+    D3 = s[:, None, None] ** 3 * ops.D3
+    E = block.bending_rigidity
+    bdt = block.beta_tstep / dt
+
+    rows = jnp.zeros((B, 14, 4 * n), dtype)
+    rhs = jnp.zeros((B, 14), dtype)
+
+    def seg(r, comp, vals):
+        """set rows[:, r, comp*n:(comp+1)*n] = vals (B, n)"""
+        return r.at[:, :].set(vals) if False else vals
+
+    x0, xend = block.x[:, 0, :], block.x[:, -1, :]
+    xs0, xsend = xs[:, 0, :], xs[:, -1, :]
+    xss0, xssend = xss[:, 0, :], xss[:, -1, :]
+    v0 = v_on_fiber[:, 0, :] if v_on_fiber is not None else jnp.zeros((B, 3), dtype)
+    vend = v_on_fiber[:, -1, :] if v_on_fiber is not None else jnp.zeros((B, 3), dtype)
+    f0 = f_on_fiber[:, 0, :] if f_on_fiber is not None else jnp.zeros((B, 3), dtype)
+    fend = f_on_fiber[:, -1, :] if f_on_fiber is not None else jnp.zeros((B, 3), dtype)
+
+    D1_0, D2_0, D3_0 = D1[:, 0, :], D2[:, 0, :], D3[:, 0, :]   # (B, n)
+    D1_e, D2_e, D3_e = D1[:, -1, :], D2[:, -1, :], D3[:, -1, :]
+
+    def put(rows_b, r, comp, vals):
+        return rows_b.at[:, r, comp * n:(comp + 1) * n].set(vals)
+
+    def put_col(rows_b, r, col, vals):
+        return rows_b.at[:, r, col].set(vals)
+
+    # ---- minus end, rows 0-3 ----
+    # CLAMPED (Velocity): pin position and project the tension equation
+    rows_cl = jnp.zeros((B, 14, 4 * n), dtype)
+    rhs_cl = jnp.zeros((B, 14), dtype)
+    for i in range(3):
+        rows_cl = put_col(rows_cl, i, i * n, bdt)
+        rhs_cl = rhs_cl.at[:, i].set(x0[:, i] / dt)
+    for i in range(3):
+        rows_cl = put(rows_cl, 3, i, (6.0 * E * c0)[:, None] * xss0[:, i, None] * D3_0)
+    rows_cl = put(rows_cl, 3, 3, (2.0 * c0)[:, None] * D1_0)
+    rhs_cl = rhs_cl.at[:, 3].set(
+        -jnp.sum(xs0 * v0, axis=-1) - 2.0 * c0 * jnp.sum(xs0 * f0, axis=-1)
+    )
+    # FREE (Force): zero end force and tension condition
+    rows_fr = jnp.zeros((B, 14, 4 * n), dtype)
+    rhs_fr = jnp.zeros((B, 14), dtype)
+    for i in range(3):
+        rows_fr = put(rows_fr, i, i, E[:, None] * D3_0)
+        rows_fr = put_col(rows_fr, i, 3 * n, -xs0[:, i])
+        rhs_fr = rhs_fr.at[:, i].set(f0[:, i])
+    for i in range(3):
+        rows_fr = put(rows_fr, 3, i, -E[:, None] * xss0[:, i, None] * D2_0)
+    rows_fr = put_col(rows_fr, 3, 3 * n, -jnp.ones((B,), dtype))
+    rhs_fr = rhs_fr.at[:, 3].set(jnp.sum(f0 * xs0, axis=-1))
+
+    is_cl = (bc_minus == BC_MINUS_CLAMPED)[:, None, None]
+    rows = jnp.where(is_cl, rows_cl, rows_fr)
+    rhs = jnp.where(is_cl[:, :, 0], rhs_cl, rhs_fr)
+
+    # ---- minus end, rows 4-6: AngularVelocity (clamped) vs Torque (free) ----
+    rows_av = jnp.zeros((B, 14, 4 * n), dtype)
+    rhs_av = jnp.zeros((B, 14), dtype)
+    rows_tq = jnp.zeros((B, 14, 4 * n), dtype)
+    rhs_tq = jnp.zeros((B, 14), dtype)
+    for i in range(3):
+        rows_av = put(rows_av, 4 + i, i, bdt[:, None] * D1_0)
+        rhs_av = rhs_av.at[:, 4 + i].set(xs0[:, i] / dt)
+        rows_tq = put(rows_tq, 4 + i, i, D2_0)
+    rows = rows + jnp.where(is_cl, rows_av, rows_tq)
+    rhs = rhs + jnp.where(is_cl[:, :, 0], rhs_av, rhs_tq)
+
+    # ---- plus end, rows 7-10: HINGED (Velocity) vs FREE (Force) ----
+    rows_hg = jnp.zeros((B, 14, 4 * n), dtype)
+    rhs_hg = jnp.zeros((B, 14), dtype)
+    # pinned position rows touch the LAST node of each component, matching the
+    # reference's column choice (fiber_finite_difference.cpp:447-449)
+    rows_hg = put_col(rows_hg, 7, 1 * n - 1, bdt)
+    rows_hg = put_col(rows_hg, 8, 2 * n - 1, bdt)
+    rows_hg = put_col(rows_hg, 9, 3 * n - 1, bdt)
+    rhs_hg = rhs_hg.at[:, 7].set(xend[:, 0] / dt)
+    rhs_hg = rhs_hg.at[:, 8].set(xend[:, 1] / dt)
+    rhs_hg = rhs_hg.at[:, 9].set(xend[:, 2] / dt)
+    for i in range(3):
+        rows_hg = put(rows_hg, 10, i, (6.0 * E * c0)[:, None] * xssend[:, i, None] * D3_e)
+    rows_hg = put(rows_hg, 10, 3, (2.0 * c0)[:, None] * D1_e)
+    rhs_hg = rhs_hg.at[:, 10].set(
+        -jnp.sum(xsend * vend, axis=-1) - 2.0 * c0 * jnp.sum(xsend * fend, axis=-1)
+    )
+
+    rows_pf = jnp.zeros((B, 14, 4 * n), dtype)
+    rhs_pf = jnp.zeros((B, 14), dtype)
+    for i in range(3):
+        rows_pf = put(rows_pf, 7 + i, i, -E[:, None] * D3_e)
+        rows_pf = put_col(rows_pf, 7 + i, 4 * n - 1, xsend[:, i])
+        rhs_pf = rhs_pf.at[:, 7 + i].set(fend[:, i])
+    for i in range(3):
+        rows_pf = put(rows_pf, 10, i, E[:, None] * xssend[:, i, None] * D2_e)
+    rows_pf = put_col(rows_pf, 10, 4 * n - 1, jnp.ones((B,), dtype))
+    rhs_pf = rhs_pf.at[:, 10].set(jnp.sum(fend * xsend, axis=-1))
+
+    is_hg = (bc_plus == BC_PLUS_HINGED)[:, None, None]
+    rows = rows + jnp.where(is_hg, rows_hg, rows_pf)
+    rhs = rhs + jnp.where(is_hg[:, :, 0], rhs_hg, rhs_pf)
+
+    # ---- plus end, rows 11-13: Torque (always) ----
+    rows_pt = jnp.zeros((B, 14, 4 * n), dtype)
+    for i in range(3):
+        rows_pt = put(rows_pt, 11 + i, i, D2_e)
+    rows = rows + rows_pt
+
+    return rows, rhs
+
+
+def apply_boundary_conditions(
+    block: FiberBlock,
+    ops: FiberOperators,
+    A: jax.Array,
+    RHS: jax.Array,
+    xs, xss, c0, c1, dt,
+    bc_minus, bc_plus,
+    v_on_fiber=None,
+    f_on_fiber=None,
+):
+    """Downsample interior equations and install the 14 BC rows.
+
+    Returns (A_bc, RHS_bc): A_bc = [P A; B_rows], RHS_bc = [P rhs; b_rows]
+    (fiber_finite_difference.cpp:347-363).
+    """
+    P = ops.P_downsample_bc
+    A_top = jnp.einsum("ra,bac->brc", P, A)
+    rhs_top = jnp.einsum("ra,ba->br", P, RHS)
+    bc_rows, bc_rhs = _bc_rows(
+        block, ops, xs, xss, c0, c1, dt, bc_minus, bc_plus, v_on_fiber, f_on_fiber
+    )
+    A_bc = jnp.concatenate([A_top, bc_rows], axis=1)
+    RHS_bc = jnp.concatenate([rhs_top, bc_rhs], axis=1)
+    return A_bc, RHS_bc
+
+
+def factorize(A: jax.Array):
+    """Batched LU factorization of the BC-applied operators (the preconditioner)."""
+    lu, piv = jax.vmap(lambda a: jax.scipy.linalg.lu_factor(a))(A)
+    return lu, piv
+
+
+def precondition(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:
+    """Batched LU solves: y_b = A_b⁻¹ x_b (the block-Jacobi preconditioner)."""
+    B = cache.A_lu.shape[0]
+    xb = x_all.reshape(B, -1)
+    y = jax.vmap(lambda lu, piv, v: jax.scipy.linalg.lu_solve((lu, piv), v))(
+        cache.A_lu, cache.A_piv, xb
+    )
+    return y.reshape(-1)
+
+
+def matvec(
+    block: FiberBlock,
+    ops: FiberOperators,
+    cache: FiberBlockCache,
+    x_all: jax.Array,       # (B*4n,) fiber component of the solution vector
+    v_fib: jax.Array,       # (B, n, 3) velocity at fiber nodes from all objects
+    v_boundary: Optional[jax.Array] = None,  # (B, 7) body-link velocity terms
+) -> jax.Array:
+    """Fiber block-row of the global operator (fiber_finite_difference.cpp:276-312).
+
+    y = A x − P [v; d/ds(xs·v)] + (end-tangency terms) + (body-link BC terms).
+    """
+    B, n = block.n_fibers, block.n_nodes
+    dtype = block.x.dtype
+    xb = x_all.reshape(B, 4 * n)
+    Ax = jnp.einsum("brc,bc->br", cache.A, xb)
+
+    s = 2.0 / block.length_prev
+    D1 = s[:, None, None] * ops.D1
+    # tension row: derivative of the pointwise tangent-velocity product
+    xsv = jnp.sum(cache.xs * v_fib, axis=-1)               # (B, n)
+    dT = jnp.einsum("bnm,bm->bn", D1, xsv)
+    vT = jnp.concatenate([v_fib[:, :, 0], v_fib[:, :, 1], v_fib[:, :, 2], dT], axis=1)
+    vT_in = jnp.einsum("ra,ba->br", ops.P_downsample_bc, vT)
+    vT_in = jnp.concatenate([vT_in, jnp.zeros((B, 14), dtype)], axis=1)
+
+    bc_start = 4 * n - 14
+    xs_vT = jnp.zeros((B, 4 * n), dtype)
+    xs_vT = xs_vT.at[:, bc_start + 3].set(jnp.sum(v_fib[:, 0, :] * cache.xs[:, 0, :], axis=-1))
+    plus_vel = (cache.bc_plus == BC_PLUS_HINGED).astype(dtype)
+    xs_vT = xs_vT.at[:, bc_start + 10].set(
+        plus_vel * jnp.sum(v_fib[:, -1, :] * cache.xs[:, -1, :], axis=-1)
+    )
+
+    y = Ax - vT_in + xs_vT
+    if v_boundary is not None:
+        y = y.at[:, bc_start:bc_start + 7].add(v_boundary)
+    return y.reshape(-1)
+
+
+def apply_fiber_force(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:
+    """(B, n, 3) force density from a candidate solution via the force operator."""
+    B = cache.force_operator.shape[0]
+    n = cache.force_operator.shape[1] // 3
+    xb = x_all.reshape(B, 4 * n)
+    f = jnp.einsum("brc,bc->br", cache.force_operator, xb)  # (B, 3n)
+    return f.reshape(B, 3, n).transpose(0, 2, 1)
+
+
+def weighted_forces(block: FiberBlock, ops: FiberOperators, forces: jax.Array) -> jax.Array:
+    """Quadrature-weight node forces for kernel evaluation: w = (L/2) w_alpha."""
+    w = 0.5 * block.length[:, None] * ops.weights[None, :]
+    return forces * w[:, :, None]
+
+
+def self_flow(block: FiberBlock, wf: jax.Array, eta) -> jax.Array:
+    """(B, n, 3) per-fiber self-interaction velocity (the subtracted Oseen term).
+
+    Instead of materializing the reference's per-fiber 3n×3n stokeslet matrix
+    (fiber_finite_difference.cpp:56) we evaluate the self apply directly.
+    """
+    return jax.vmap(lambda x, f: stokeslet_apply(x, f, x, eta))(block.x, wf)
+
+
+def fiber_error(block: FiberBlock, ops: FiberOperators) -> jax.Array:
+    """max |‖xs‖ − 1| over the block, with xs at the *target* length
+    (fiber_container_finite_difference.cpp:79-89)."""
+    s = 2.0 / block.length
+    xs = s[:, None, None] * jnp.einsum("ab,nbc->nac", ops.D1, block.x)
+    err = jnp.abs(jnp.linalg.norm(xs, axis=-1) - 1.0)
+    return jnp.max(err) if err.size else jnp.zeros((), block.x.dtype)
+
+
+def step(block: FiberBlock, solution: jax.Array) -> FiberBlock:
+    """Advance positions/tension from the solved [x; y; z; T] layout."""
+    B, n = block.n_fibers, block.n_nodes
+    sol = solution.reshape(B, 4, n)
+    x_new = sol[:, :3, :].transpose(0, 2, 1)
+    return block.replace(x=x_new, tension=sol[:, 3, :], length_prev=block.length)
+
+
+def update_cache(
+    block: FiberBlock,
+    ops: FiberOperators,
+    eta,
+    dt,
+    bc_minus: jax.Array,
+    bc_plus: jax.Array,
+    flow: Optional[jax.Array] = None,
+    f_external: Optional[jax.Array] = None,
+    v_on_fiber: Optional[jax.Array] = None,
+    f_on_fiber: Optional[jax.Array] = None,
+) -> FiberBlockCache:
+    """One-shot per-step cache build: derivatives → A → RHS → BCs → LU.
+
+    Fuses the reference's update_cache_variables + update_RHS + apply_bcs
+    sequence (system.cpp:398-458) for a whole block under jit.
+    """
+    c0, c1 = sbt_constants(block, eta)
+    xs, xss, xsss, xssss = derivatives(block, ops)
+    A = assemble_linear_operator(block, ops, xs, xss, xsss, c0, c1, dt)
+    F = assemble_force_operator(block, ops, xs, xss)
+    RHS = update_rhs(block, ops, xs, xss, c0, c1, dt, flow, f_external)
+    A_bc, RHS_bc = apply_boundary_conditions(
+        block, ops, A, RHS, xs, xss, c0, c1, dt, bc_minus, bc_plus,
+        v_on_fiber, f_on_fiber,
+    )
+    lu, piv = factorize(A_bc)
+    return FiberBlockCache(
+        xs=xs, xss=xss, xsss=xsss, xssss=xssss, c0=c0, c1=c1,
+        A=A_bc, A_lu=lu, A_piv=piv, force_operator=F, RHS=RHS_bc,
+        bc_minus=bc_minus, bc_plus=bc_plus,
+    )

@@ -1,0 +1,1 @@
+from skellysim_tpu.solver.gmres import gmres, GmresResult  # noqa: F401

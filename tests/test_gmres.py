@@ -1,0 +1,77 @@
+"""GMRES solver tests: dense nonsymmetric systems vs numpy direct solve,
+preconditioning, restarts, and jit-closure usage (the System matvec pattern)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skellysim_tpu.solver import gmres
+
+RNG = np.random.default_rng(7)
+
+
+def _well_conditioned(n):
+    A = np.eye(n) * 4.0 + 0.5 * RNG.normal(size=(n, n))
+    b = RNG.normal(size=n)
+    return A, b
+
+
+def test_gmres_matches_direct_solve():
+    A, b = _well_conditioned(60)
+    res = gmres(lambda v: jnp.array(A) @ v, jnp.array(b), tol=1e-12, restart=80)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), rtol=1e-8, atol=1e-9)
+
+
+def test_gmres_right_preconditioner_reduces_iterations():
+    A, b = _well_conditioned(80)
+    Minv = np.linalg.inv(A + 0.2 * RNG.normal(size=A.shape))
+    plain = gmres(lambda v: jnp.array(A) @ v, jnp.array(b), tol=1e-10, restart=80)
+    prec = gmres(
+        lambda v: jnp.array(A) @ v,
+        jnp.array(b),
+        tol=1e-10,
+        restart=80,
+        precond=lambda v: jnp.array(Minv) @ v,
+    )
+    assert bool(prec.converged)
+    assert int(prec.iterations) < int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(prec.x), np.linalg.solve(A, b), rtol=1e-7, atol=1e-8)
+
+
+def test_gmres_restart_path():
+    A, b = _well_conditioned(50)
+    res = gmres(lambda v: jnp.array(A) @ v, jnp.array(b), tol=1e-10, restart=12, max_restarts=20)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), rtol=1e-6, atol=1e-7)
+
+
+def test_gmres_zero_rhs():
+    A, _ = _well_conditioned(20)
+    res = gmres(lambda v: jnp.array(A) @ v, jnp.zeros(20), tol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x), 0.0)
+    assert bool(res.converged)
+
+
+def test_gmres_under_jit_with_closure_state():
+    A, b = _well_conditioned(40)
+    Aj = jnp.array(A)
+
+    @jax.jit
+    def solve(rhs):
+        return gmres(lambda v: Aj @ v, rhs, tol=1e-11, restart=60).x
+
+    np.testing.assert_allclose(np.asarray(solve(jnp.array(b))), np.linalg.solve(A, b),
+                               rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("tol", [1e-6, 1e-10])
+def test_gmres_reports_achieved_tolerance(tol):
+    A, b = _well_conditioned(64)
+    res = gmres(lambda v: jnp.array(A) @ v, jnp.array(b), tol=tol, restart=80)
+    x = np.asarray(res.x)
+    true_rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert true_rel <= 5 * tol
+    assert float(res.residual) <= tol
