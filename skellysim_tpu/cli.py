@@ -1,0 +1,62 @@
+"""Command-line entry point.
+
+Mirrors the reference binary's interface (src/skelly_sim.cpp:26-30):
+
+    python -m skellysim_tpu.cli --config-file=skelly_config.toml \
+        [--resume] [--overwrite] [--listen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="skellysim_tpu")
+    ap.add_argument("--config-file", default="skelly_config.toml")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the trajectory's last frame")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow overwriting an existing trajectory")
+    ap.add_argument("--listen", action="store_true",
+                    help="serve analysis requests (streamlines/fields) over stdin/stdout")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (cpu/tpu); default uses the session default")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=os.environ.get("SKELLY_LOG", "INFO"),
+                        format="[%(asctime)s] [%(levelname)s] %(message)s")
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    traj = "skelly_sim.out"
+    if not args.resume and not args.listen and os.path.exists(traj) and not args.overwrite:
+        print(f"Trajectory file '{traj}' already exists. "
+              "Use --overwrite to overwrite, or --resume to continue.", file=sys.stderr)
+        return 1
+    if args.resume and not os.path.exists(traj):
+        print(f"--resume requested but '{traj}' does not exist", file=sys.stderr)
+        return 1
+
+    from skellysim_tpu.io import tomlio
+    from skellysim_tpu.system import System
+
+    config = tomlio.load(args.config_file)
+    system = System(config, resume=args.resume, listen=args.listen)
+    if args.listen:
+        from skellysim_tpu.analysis.listener import serve
+
+        serve(system)
+    else:
+        system.run()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

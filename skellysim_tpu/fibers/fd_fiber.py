@@ -27,7 +27,6 @@ Boundary-condition encoding (per fiber, per step):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
@@ -293,12 +292,11 @@ def update_rhs(
     D1 = s[:, None, None] * ops.D1  # (B, n, n)
     s_dot = (1.0 + ops.alpha)[None, :] * (0.5 * block.v_growth)[:, None]
 
-    rhs_xyz = block.x / dt[..., None, None] + s_dot[:, :, None] * xs
+    rhs_xyz = block.x / jnp.asarray(dt) + s_dot[:, :, None] * xs
     rhs_T = -block.penalty_param[:, None] * jnp.ones((B, n), block.x.dtype)
 
     if flow is not None:
         rhs_xyz = rhs_xyz + flow
-        dflow = jnp.einsum("bab,...->...", jnp.zeros((0, 0, 0)), 0) if False else None
         du = jnp.einsum("bnm,bmc->bnc", D1, flow)
         rhs_T = rhs_T + jnp.sum(xs * du, axis=-1)
     if f_external is not None:
@@ -337,13 +335,6 @@ def _bc_rows(
     D3 = s[:, None, None] ** 3 * ops.D3
     E = block.bending_rigidity
     bdt = block.beta_tstep / dt
-
-    rows = jnp.zeros((B, 14, 4 * n), dtype)
-    rhs = jnp.zeros((B, 14), dtype)
-
-    def seg(r, comp, vals):
-        """set rows[:, r, comp*n:(comp+1)*n] = vals (B, n)"""
-        return r.at[:, :].set(vals) if False else vals
 
     x0, xend = block.x[:, 0, :], block.x[:, -1, :]
     xs0, xsend = xs[:, 0, :], xs[:, -1, :]

@@ -1,0 +1,203 @@
+"""Pallas tiled pairwise Stokes kernels — the per-chip speed-of-light path.
+
+TPU-native replacement for the reference's CUDA tiled all-pairs drivers
+(src/core/kernels.cu:80-178, shared-memory source tiles over targets): here a
+grid program owns a tile of targets resident in VMEM and sweeps the source
+set in VMEM chunks with a fori_loop, accumulating velocity components on the
+VPU. Layout is structure-of-arrays — coordinates as (3, N) with N on lanes —
+so every op is a full-width (TILE_T, CHUNK_S) vector op.
+
+The math is all-elementwise (no contraction an MXU could eat), so the
+roofline is VPU flops: ~23 flops/pair for the stokeslet, ~40 for the
+stresslet. f32 only (TPU has no f64 vector unit); accuracy vs the f64 XLA
+reference is ~1e-6 relative, which the parity tests pin down.
+
+Padding contract: callers pad N to multiples of the tile sizes; padded
+sources sit at the origin with zero strength and padded targets compute
+garbage that is sliced off. Coincident pairs (r² == 0) contribute zero, which
+also covers the self-interaction and all padded sources.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_T = 256     # targets per grid program (sublane axis)
+CHUNK_S = 512    # sources per inner-loop chunk (lane axis)
+
+
+def _pad_to(a: jax.Array, n: int, axis: int = 0) -> jax.Array:
+    pad = n - a.shape[axis]
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+def _stokeslet_kernel(src_ref, f_ref, trg_ref, out_ref):
+    """One target tile vs all sources. src/f: (3, S) VMEM; trg: (3, TILE_T)."""
+    S = src_ref.shape[1]
+    n_chunks = S // CHUNK_S
+
+    tx = trg_ref[0:1, :].T  # (TILE_T, 1)
+    ty = trg_ref[1:2, :].T
+    tz = trg_ref[2:3, :].T
+
+    def body(c, acc):
+        ux, uy, uz = acc
+        sl = pl.ds(c * CHUNK_S, CHUNK_S)
+        sx = src_ref[0:1, sl]   # (1, CHUNK_S)
+        sy = src_ref[1:2, sl]
+        sz = src_ref[2:3, sl]
+        fx = f_ref[0:1, sl]
+        fy = f_ref[1:2, sl]
+        fz = f_ref[2:3, sl]
+
+        dx = tx - sx            # (TILE_T, CHUNK_S)
+        dy = ty - sy
+        dz = tz - sz
+        r2 = dx * dx + dy * dy + dz * dz
+        nonzero = r2 > 0.0
+        rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
+        rinv3 = rinv * rinv * rinv
+        df3 = (dx * fx + dy * fy + dz * fz) * rinv3
+        ux = ux + jnp.sum(fx * rinv + df3 * dx, axis=1, keepdims=True)
+        uy = uy + jnp.sum(fy * rinv + df3 * dy, axis=1, keepdims=True)
+        uz = uz + jnp.sum(fz * rinv + df3 * dz, axis=1, keepdims=True)
+        return ux, uy, uz
+
+    zero = jnp.zeros((trg_ref.shape[1], 1), jnp.float32)
+    ux, uy, uz = jax.lax.fori_loop(0, n_chunks, body, (zero, zero, zero))
+    out_ref[0:1, :] = ux.T
+    out_ref[1:2, :] = uy.T
+    out_ref[2:3, :] = uz.T
+
+
+def _stresslet_kernel(src_ref, s_ref, trg_ref, out_ref):
+    """Double-layer: s_ref (9, S) rows are S_ij in row-major ij order."""
+    S = src_ref.shape[1]
+    n_chunks = S // CHUNK_S
+
+    tx = trg_ref[0:1, :].T
+    ty = trg_ref[1:2, :].T
+    tz = trg_ref[2:3, :].T
+
+    def body(c, acc):
+        ux, uy, uz = acc
+        sl = pl.ds(c * CHUNK_S, CHUNK_S)
+        sx = src_ref[0:1, sl]
+        sy = src_ref[1:2, sl]
+        sz = src_ref[2:3, sl]
+        dx = tx - sx
+        dy = ty - sy
+        dz = tz - sz
+        r2 = dx * dx + dy * dy + dz * dz
+        nonzero = r2 > 0.0
+        rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
+        rinv2 = rinv * rinv
+        rinv5 = rinv2 * rinv2 * rinv
+
+        sxx = s_ref[0:1, sl]; sxy = s_ref[1:2, sl]; sxz = s_ref[2:3, sl]
+        syx = s_ref[3:4, sl]; syy = s_ref[4:5, sl]; syz = s_ref[5:6, sl]
+        szx = s_ref[6:7, sl]; szy = s_ref[7:8, sl]; szz = s_ref[8:9, sl]
+
+        dsd = (sxx * dx * dx + syy * dy * dy + szz * dz * dz
+               + (sxy + syx) * dx * dy
+               + (sxz + szx) * dx * dz
+               + (syz + szy) * dy * dz)
+        coeff = -3.0 * dsd * rinv5
+        ux = ux + jnp.sum(coeff * dx, axis=1, keepdims=True)
+        uy = uy + jnp.sum(coeff * dy, axis=1, keepdims=True)
+        uz = uz + jnp.sum(coeff * dz, axis=1, keepdims=True)
+        return ux, uy, uz
+
+    zero = jnp.zeros((trg_ref.shape[1], 1), jnp.float32)
+    ux, uy, uz = jax.lax.fori_loop(0, n_chunks, body, (zero, zero, zero))
+    out_ref[0:1, :] = ux.T
+    out_ref[1:2, :] = uy.T
+    out_ref[2:3, :] = uz.T
+
+
+def _prep_soa(r: jax.Array, n_pad: int) -> jax.Array:
+    """(N, d) f-any → (d, n_pad) f32 structure-of-arrays."""
+    return _pad_to(r.astype(jnp.float32), n_pad, axis=0).T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stokeslet_apply_pallas(r_src, f_src, r_trg, eta=1.0, interpret=False):
+    """u = (1/8πη) Σ [f/r + (d·f) d/r³] via the tiled Pallas kernel. f32.
+
+    Drop-in (dtype-narrowing) replacement for
+    :func:`skellysim_tpu.kernels.reference.stokeslet_apply`.
+    """
+    T = r_trg.shape[0]
+    S = r_src.shape[0]
+    S_pad = max(CHUNK_S, ((S + CHUNK_S - 1) // CHUNK_S) * CHUNK_S)
+    T_pad = max(TILE_T, ((T + TILE_T - 1) // TILE_T) * TILE_T)
+
+    src = _prep_soa(r_src, S_pad)
+    f = _prep_soa(f_src, S_pad)
+    trg = _prep_soa(r_trg, T_pad)
+
+    out = pl.pallas_call(
+        _stokeslet_kernel,
+        grid=(T_pad // TILE_T,),
+        in_specs=[
+            pl.BlockSpec((3, S_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, S_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, T_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=23 * T_pad * S_pad, bytes_accessed=(9 * S_pad + 6 * T_pad) * 4,
+            transcendentals=T_pad * S_pad,
+        ),
+        interpret=interpret,
+    )(src, f, trg)
+
+    scale = (1.0 / (8.0 * np.pi)) / eta
+    return (out.T[:T] * scale).astype(r_trg.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stresslet_apply_pallas(r_src, S_src, r_trg, eta=1.0, interpret=False):
+    """u = (−3/8πη) Σ (d·S·d) d/r⁵ via the tiled Pallas kernel. f32.
+
+    ``S_src`` is (N, 3, 3) per-source double-layer strengths.
+    """
+    T = r_trg.shape[0]
+    S = r_src.shape[0]
+    S_pad = max(CHUNK_S, ((S + CHUNK_S - 1) // CHUNK_S) * CHUNK_S)
+    T_pad = max(TILE_T, ((T + TILE_T - 1) // TILE_T) * TILE_T)
+
+    src = _prep_soa(r_src, S_pad)
+    smat = _prep_soa(S_src.reshape(S, 9), S_pad)  # (9, S_pad)
+    trg = _prep_soa(r_trg, T_pad)
+
+    out = pl.pallas_call(
+        _stresslet_kernel,
+        grid=(T_pad // TILE_T,),
+        in_specs=[
+            pl.BlockSpec((3, S_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, S_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, T_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * T_pad * S_pad, bytes_accessed=(15 * S_pad + 6 * T_pad) * 4,
+            transcendentals=T_pad * S_pad,
+        ),
+        interpret=interpret,
+    )(src, smat, trg)
+
+    scale = (1.0 / (8.0 * np.pi)) / eta
+    return (out.T[:T] * scale).astype(r_trg.dtype)

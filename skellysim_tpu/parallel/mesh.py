@@ -1,0 +1,79 @@
+"""Device mesh and sharding helpers.
+
+The distribution model (SURVEY §2.3 mapping):
+  * fiber blocks shard on the batch axis ("fib") — the analogue of the
+    reference's round-robin fiber distribution over MPI ranks
+    (fiber_container_finite_difference.cpp:95-127); per-fiber dense algebra
+    stays local, reductions ride ICI
+  * pairwise kernels: sources stay sharded, targets are gathered (XLA inserts
+    the all_gather) — the analogue of the periphery's
+    Scatterv-rows/Allgatherv-vector layout (periphery.cpp:21-47)
+  * small DOF blocks (bodies) replicate
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+FIBER_AXIS = "fib"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (FIBER_AXIS,))
+
+
+def fiber_batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(FIBER_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_block_leaves(block, mesh: Mesh):
+    """Place every (B, ...) leaf of a FiberBlock with the batch axis sharded."""
+    sh = fiber_batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), block)
+
+
+def pad_batch_to(block, multiple: int):
+    """Pad a FiberBlock's batch dim to a multiple (inactive rows are benign:
+    padded fibers are unit-length straight fibers with zero force)."""
+    import jax.numpy as jnp
+
+    B = block.n_fibers
+    pad = (-B) % multiple
+    if pad == 0:
+        return block, B
+
+    def pad_leaf(a):
+        if not hasattr(a, "shape") or a.ndim == 0 or a.shape[0] != B:
+            return a
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    padded = jax.tree_util.tree_map(pad_leaf, block)
+    # make padded fibers physically sane (straight, unit params) so assembly
+    # stays well-conditioned
+    n = block.n_nodes
+    t = jnp.linspace(0.0, 1.0, n)
+    straight = jnp.stack([t * 0, t * 0, t], axis=-1)
+    x = padded.x.at[B:].set(straight)
+    padded = padded.replace(
+        x=x,
+        length=padded.length.at[B:].set(1.0),
+        length_prev=padded.length_prev.at[B:].set(1.0),
+        bending_rigidity=padded.bending_rigidity.at[B:].set(1e-3),
+        radius=padded.radius.at[B:].set(0.0125),
+        penalty_param=padded.penalty_param.at[B:].set(500.0),
+        beta_tstep=padded.beta_tstep.at[B:].set(1.0),
+        binding_body=padded.binding_body.at[B:].set(-1),
+    )
+    return padded, B
