@@ -1,11 +1,17 @@
 """Benchmark: pairwise Stokes-kernel throughput on the TPU chip.
 
 Methodology follows the reference's harness
-(tests/core/performance_hydrodynamics_combined.cpp:37-108): mean runtime over
-trials for an N_src × N_trg all-pairs stokeslet evaluation, reported as
-pairwise interactions/second. The baseline is the same computation run on the
-host CPU via XLA (multithreaded — a stand-in for the reference's OpenMP CPU
-evaluator, which we cannot build here since it needs PVFMM/Trilinos).
+(tests/core/performance_hydrodynamics_combined.cpp:37-108): mean runtime per
+all-pairs stokeslet evaluation at N×N, reported as pairwise interactions/s.
+
+Timing is a K-deep chain of kernel applications (each iteration's force
+depends on the previous velocity) inside ONE jitted executable with a single
+scalar readback — this defeats both async-dispatch undercounting and any
+result caching on tunneled backends.
+
+Baseline: the same computation on the host CPU via XLA f64 (multithreaded),
+standing in for the reference's OpenMP CPU evaluator (which needs
+PVFMM/Trilinos and cannot be built here).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -20,51 +26,67 @@ import time
 import numpy as np
 
 
-def _bench_backend(device, n_src, n_trg, dtype, iters=10):
+def _chain_bench(kernel, n, K, device, dtype):
+    """Mean seconds per kernel application over a K-chain."""
     import jax
     import jax.numpy as jnp
 
-    from skellysim_tpu.kernels.reference import stokeslet_apply
-
     rng = np.random.default_rng(0)
-    r_src = jax.device_put(jnp.asarray(rng.uniform(-1, 1, (n_src, 3)), dtype), device)
-    f_src = jax.device_put(jnp.asarray(rng.normal(size=(n_src, 3)), dtype), device)
-    r_trg = jax.device_put(jnp.asarray(rng.uniform(-1, 1, (n_trg, 3)), dtype), device)
+    a = jax.device_put(jnp.asarray(rng.uniform(-1, 1, (n, 3)), dtype), device)
+    f = jax.device_put(jnp.asarray(rng.normal(size=(n, 3)), dtype), device)
 
-    fn = jax.jit(lambda a, b, c: stokeslet_apply(a, b, c, 1.0), device=device)
-    fn(r_src, f_src, r_trg).block_until_ready()  # compile
+    @jax.jit
+    def run(a, f):
+        def body(i, u):
+            return kernel(a, 1e-3 * u + f, a)
+        return jnp.sum(jax.lax.fori_loop(0, K, body, f))
+
+    float(run(a, f))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(r_src, f_src, r_trg)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return (n_src * n_trg) / dt, dt
+    s = float(run(a, f))
+    assert np.isfinite(s)
+    return (time.perf_counter() - t0) / K
 
 
 def main():
     import jax
-
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-    tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
-    cpu = jax.devices("cpu")[0]
-
-    n = 8192
     import jax.numpy as jnp
 
-    # CPU baseline (f64, like the reference's CPU evaluator)
-    cpu_rate, cpu_dt = _bench_backend(cpu, n, n, jnp.float64, iters=3)
-    print(f"cpu f64: {cpu_rate:.3e} inter/s ({cpu_dt*1e3:.1f} ms)", file=sys.stderr)
+    from skellysim_tpu.kernels.pallas_tpu import stokeslet_apply_pallas
+    from skellysim_tpu.kernels.reference import stokeslet_apply
 
-    if tpu_devices:
-        dev = tpu_devices[0]
-        rate32, dt32 = _bench_backend(dev, n, n, jnp.float32, iters=10)
-        print(f"tpu f32: {rate32:.3e} inter/s ({dt32*1e3:.2f} ms)", file=sys.stderr)
-        value, ratio = rate32, rate32 / cpu_rate
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    cpu = jax.devices("cpu")[0]
+
+    xla_kernel = lambda a, f, t: stokeslet_apply(a, f, t, 1.0)
+    pallas_kernel = lambda a, f, t: stokeslet_apply_pallas(a, f, t, 1.0)
+
+    n_cpu = 2048
+    dt_cpu = _chain_bench(xla_kernel, n_cpu, 3, cpu, jnp.float64)
+    cpu_rate = n_cpu * n_cpu / dt_cpu
+    print(f"cpu xla f64 n={n_cpu}: {cpu_rate:.3e} inter/s ({dt_cpu*1e3:.1f} ms)",
+          file=sys.stderr)
+
+    if accel:
+        dev = accel[0]
+        n = 8192
+        rates = {}
+        for name, kern in [("xla", xla_kernel), ("pallas", pallas_kernel)]:
+            try:
+                dt = _chain_bench(kern, n, 20, dev, jnp.float32)
+                rates[name] = n * n / dt
+                print(f"tpu {name} f32 n={n}: {rates[name]:.3e} inter/s "
+                      f"({dt*1e3:.2f} ms)", file=sys.stderr)
+            except Exception as e:
+                print(f"tpu {name} failed: {e}", file=sys.stderr)
+        best = max(rates.values())
+        value, ratio = best, best / cpu_rate
     else:
         value, ratio = cpu_rate, 1.0
 
     print(json.dumps({
-        "metric": "pairwise stokeslet interactions/s/chip (N=8192^2, f32 TPU vs f64 XLA-CPU baseline)",
+        "metric": "pairwise stokeslet interactions/s/chip (f32 on-chip, chained-loop timing, vs f64 XLA-CPU baseline)",
         "value": value,
         "unit": "interactions/s",
         "vs_baseline": ratio,

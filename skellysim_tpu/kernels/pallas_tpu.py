@@ -52,7 +52,7 @@ def _stokeslet_kernel(src_ref, f_ref, trg_ref, out_ref):
 
     def body(c, acc):
         ux, uy, uz = acc
-        sl = pl.ds(c * CHUNK_S, CHUNK_S)
+        sl = pl.ds(c * jnp.int32(CHUNK_S), CHUNK_S)  # keep i32 under x64 mode
         sx = src_ref[0:1, sl]   # (1, CHUNK_S)
         sy = src_ref[1:2, sl]
         sz = src_ref[2:3, sl]
@@ -74,7 +74,10 @@ def _stokeslet_kernel(src_ref, f_ref, trg_ref, out_ref):
         return ux, uy, uz
 
     zero = jnp.zeros((trg_ref.shape[1], 1), jnp.float32)
-    ux, uy, uz = jax.lax.fori_loop(0, n_chunks, body, (zero, zero, zero))
+    # i32 loop bounds: under x64 mode python ints trace as i64, which Mosaic
+    # cannot cast down for the dynamic-slice index
+    ux, uy, uz = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body,
+                                   (zero, zero, zero))
     out_ref[0:1, :] = ux.T
     out_ref[1:2, :] = uy.T
     out_ref[2:3, :] = uz.T
@@ -91,7 +94,7 @@ def _stresslet_kernel(src_ref, s_ref, trg_ref, out_ref):
 
     def body(c, acc):
         ux, uy, uz = acc
-        sl = pl.ds(c * CHUNK_S, CHUNK_S)
+        sl = pl.ds(c * jnp.int32(CHUNK_S), CHUNK_S)  # keep i32 under x64 mode
         sx = src_ref[0:1, sl]
         sy = src_ref[1:2, sl]
         sz = src_ref[2:3, sl]
@@ -119,7 +122,10 @@ def _stresslet_kernel(src_ref, s_ref, trg_ref, out_ref):
         return ux, uy, uz
 
     zero = jnp.zeros((trg_ref.shape[1], 1), jnp.float32)
-    ux, uy, uz = jax.lax.fori_loop(0, n_chunks, body, (zero, zero, zero))
+    # i32 loop bounds: under x64 mode python ints trace as i64, which Mosaic
+    # cannot cast down for the dynamic-slice index
+    ux, uy, uz = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_chunks), body,
+                                   (zero, zero, zero))
     out_ref[0:1, :] = ux.T
     out_ref[1:2, :] = uy.T
     out_ref[2:3, :] = uz.T
@@ -135,8 +141,16 @@ def stokeslet_apply_pallas(r_src, f_src, r_trg, eta=1.0, interpret=False):
     """u = (1/8πη) Σ [f/r + (d·f) d/r³] via the tiled Pallas kernel. f32.
 
     Drop-in (dtype-narrowing) replacement for
-    :func:`skellysim_tpu.kernels.reference.stokeslet_apply`.
+    :func:`skellysim_tpu.kernels.reference.stokeslet_apply`. Traced with x64
+    disabled — Mosaic cannot lower the i64 indices x64 mode produces.
     """
+    with jax.enable_x64(False):
+        out32 = _stokeslet_apply_pallas(r_src, f_src, r_trg, interpret)
+    scale = (1.0 / (8.0 * np.pi)) / eta
+    return (out32 * scale).astype(r_trg.dtype)
+
+
+def _stokeslet_apply_pallas(r_src, f_src, r_trg, interpret):
     T = r_trg.shape[0]
     S = r_src.shape[0]
     S_pad = max(CHUNK_S, ((S + CHUNK_S - 1) // CHUNK_S) * CHUNK_S)
@@ -163,8 +177,7 @@ def stokeslet_apply_pallas(r_src, f_src, r_trg, eta=1.0, interpret=False):
         interpret=interpret,
     )(src, f, trg)
 
-    scale = (1.0 / (8.0 * np.pi)) / eta
-    return (out.T[:T] * scale).astype(r_trg.dtype)
+    return out.T[:T]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -173,6 +186,13 @@ def stresslet_apply_pallas(r_src, S_src, r_trg, eta=1.0, interpret=False):
 
     ``S_src`` is (N, 3, 3) per-source double-layer strengths.
     """
+    with jax.enable_x64(False):
+        out32 = _stresslet_apply_pallas(r_src, S_src, r_trg, interpret)
+    scale = (1.0 / (8.0 * np.pi)) / eta
+    return (out32 * scale).astype(r_trg.dtype)
+
+
+def _stresslet_apply_pallas(r_src, S_src, r_trg, interpret):
     T = r_trg.shape[0]
     S = r_src.shape[0]
     S_pad = max(CHUNK_S, ((S + CHUNK_S - 1) // CHUNK_S) * CHUNK_S)
@@ -199,5 +219,4 @@ def stresslet_apply_pallas(r_src, S_src, r_trg, eta=1.0, interpret=False):
         interpret=interpret,
     )(src, smat, trg)
 
-    scale = (1.0 / (8.0 * np.pi)) / eta
-    return (out.T[:T] * scale).astype(r_trg.dtype)
+    return out.T[:T]

@@ -1,0 +1,180 @@
+"""Confining periphery (cell cortex) as a second-kind boundary-integral surface.
+
+Runtime counterpart of the reference's Periphery classes
+(include/periphery.hpp, src/core/periphery.cpp): the dense operators come
+from the offline precompute (skellysim_tpu.precompute); at runtime the shell
+contributes
+
+  * preconditioner apply:   y = M⁻¹ x                    (periphery.cpp:21-29)
+  * operator apply:         y = (T − E − I/w + nnᵀ) x + v (periphery.cpp:38-47)
+  * flow at targets:        double layer with S = 2η n⊗q  (periphery.cpp:55-79)
+  * RHS:                    −v at shell nodes             (periphery.cpp:86)
+  * shape-aware collision checks and exponential steric repulsion on fibers
+    (periphery.cpp:94-263)
+
+TPU mapping: both dense (3N, 3N) operators are plain matmuls — MXU work. For
+multi-chip runs they shard by rows with the solution vector all-gathered,
+exactly the layout the reference reaches with Scatterv/Allgatherv; on one
+chip they stay resident in HBM (N ≤ 10⁴ → ≤ 7.2 GB f64 for both).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from skellysim_tpu.kernels.reference import stresslet_apply
+
+SHAPE_NONE = "none"
+SHAPE_SPHERE = "sphere"
+SHAPE_ELLIPSOID = "ellipsoid"
+SHAPE_GENERIC = "generic"
+
+
+@struct.dataclass
+class ShellState:
+    """Device-resident periphery data (pytree)."""
+
+    nodes: jax.Array        # (N, 3)
+    normals: jax.Array      # (N, 3) inward-pointing (into the domain)
+    weights: jax.Array      # (N,)
+    M_inv: jax.Array        # (3N, 3N)
+    A: jax.Array            # (3N, 3N) stresslet + complementary operator
+    solution: jax.Array     # (3N,) current density solution
+
+    @property
+    def n_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def solution_size(self) -> int:
+        return 3 * self.n_nodes
+
+
+class Shell:
+    """Host wrapper: shape metadata + the ShellState pytree."""
+
+    def __init__(self, state: ShellState, shape: str = SHAPE_GENERIC,
+                 radius: float = 0.0, abc=(0.0, 0.0, 0.0)):
+        self.state = state
+        self.shape = shape
+        self.radius = radius
+        self.abc = tuple(abc)
+
+    @staticmethod
+    def from_precompute(periphery_table: dict, dtype=jnp.float64) -> "Shell":
+        """Load the npz written by the precompute pipeline (reference keys)."""
+        data = np.load(periphery_table["precompute_file"])
+        state = ShellState(
+            nodes=jnp.asarray(data["nodes"], dtype),
+            normals=jnp.asarray(data["normals"], dtype),
+            weights=jnp.asarray(data["quadrature_weights"], dtype),
+            M_inv=jnp.asarray(data["M_inv"], dtype),
+            A=jnp.asarray(data["stresslet_plus_complementary"], dtype),
+            solution=jnp.zeros(3 * data["nodes"].shape[0], dtype),
+        )
+        shape = periphery_table.get("shape", SHAPE_GENERIC)
+        radius = float(periphery_table.get("radius", 0.0))
+        abc = (float(periphery_table.get("a", 0.0)),
+               float(periphery_table.get("b", 0.0)),
+               float(periphery_table.get("c", 0.0)))
+        return Shell(state, shape=shape, radius=radius, abc=abc)
+
+
+# ---- pure jit-safe operations ----
+
+def matvec(state: ShellState, x: jax.Array, v_on_shell: jax.Array) -> jax.Array:
+    """A x + v (the shell block-row of the global operator)."""
+    return state.A @ x + v_on_shell.reshape(-1)
+
+
+def precondition(state: ShellState, x: jax.Array) -> jax.Array:
+    return state.M_inv @ x
+
+
+def update_rhs(v_on_shell: jax.Array) -> jax.Array:
+    return -v_on_shell.reshape(-1)
+
+
+def flow(state: ShellState, r_trg: jax.Array, density: jax.Array, eta,
+         evaluator=None) -> jax.Array:
+    """Velocity at targets from the shell's double-layer density.
+
+    density is the (3N,) weight-premultiplied solution vector; the physical
+    double-layer strength is S = 2η n⊗q (periphery.cpp:61-74).
+    """
+    q = density.reshape(-1, 3)
+    S = 2.0 * eta * state.normals[:, :, None] * q[:, None, :]
+    eval_fn = evaluator if evaluator is not None else stresslet_apply
+    return eval_fn(state.nodes, S, r_trg, eta)
+
+
+# ---- shape-specific geometry (host metadata + traced point data) ----
+
+def sphere_collision(radius: float, points: jax.Array, threshold) -> jax.Array:
+    """True if any point reaches R − threshold (periphery.cpp:126-133)."""
+    r2 = jnp.sum(points * points, axis=-1)
+    return jnp.any(r2 >= (radius - threshold) ** 2)
+
+
+def ellipsoid_collision(abc, points: jax.Array, threshold) -> jax.Array:
+    """Reference's scaled-angle heuristic (periphery.cpp:204-224)."""
+    a, b, c = abc
+    scaled = points / jnp.asarray([a, b, c])
+    smag = jnp.linalg.norm(scaled, axis=-1)
+    phi = jnp.arctan2(scaled[:, 1], scaled[:, 0] + 1e-12)
+    theta = jnp.arccos(jnp.clip(scaled[:, 2] / (1e-12 + smag), -1.0, 1.0))
+    st = jnp.sin(theta)
+    r_cortex = jnp.stack([
+        (a - threshold) * st * jnp.cos(phi),
+        (b - threshold) * st * jnp.sin(phi),
+        (c - threshold) * jnp.cos(theta),
+    ], axis=-1)
+    return jnp.any(jnp.sum(points * points, axis=-1) >= jnp.sum(r_cortex * r_cortex, axis=-1))
+
+
+def sphere_fiber_repulsion(radius: float, x: jax.Array, skip_first: jax.Array,
+                           f0, l0) -> jax.Array:
+    """Exponential steric wall force on fiber nodes (periphery.cpp:140-162).
+
+    x: (B, n, 3) fiber node positions; skip_first: (B,) bool (minus-clamped
+    fibers don't feel the wall at their anchored node).
+    """
+    r = jnp.linalg.norm(x, axis=-1)                      # (B, n)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    u_hat = x / safe_r[..., None]
+    inside = r < radius
+    # dr points from the wall to the node; |dr| = radius − r
+    f = -f0 * u_hat * jnp.exp(-(radius - r) / l0)[..., None]
+    f = jnp.where(inside[..., None], f, 0.0)
+    node_idx = jnp.arange(x.shape[1])[None, :]
+    mask = jnp.logical_or(node_idx > 0, ~skip_first[:, None])
+    return jnp.where(mask[..., None], f, 0.0)
+
+
+def ellipsoid_fiber_repulsion(abc, x: jax.Array, skip_first: jax.Array,
+                              f0, l0) -> jax.Array:
+    """Ellipsoidal version (periphery.cpp:232-263)."""
+    a, b, c = abc
+    scaled = x / jnp.asarray([a, b, c])
+    smag = jnp.linalg.norm(scaled, axis=-1)
+    r = jnp.linalg.norm(x, axis=-1)
+    phi = jnp.arctan2(scaled[..., 1], scaled[..., 0] + 1e-12)
+    theta = jnp.arccos(jnp.clip(scaled[..., 2] / (1e-12 + smag), -1.0, 1.0))
+    st = jnp.sin(theta)
+    r_cortex = jnp.stack([a * st * jnp.cos(phi), b * st * jnp.sin(phi),
+                          c * jnp.cos(theta)], axis=-1)
+    rc_mag = jnp.linalg.norm(r_cortex, axis=-1)
+    inside = r < rc_mag
+    dr = x - r_cortex
+    d = jnp.linalg.norm(dr, axis=-1)
+    safe_d = jnp.where(d > 0, d, 1.0)
+    f = f0 * dr / safe_d[..., None] * jnp.exp(-(rc_mag - r) / l0)[..., None]
+    f = jnp.where(inside[..., None], f, 0.0)
+    node_idx = jnp.arange(x.shape[1])[None, :]
+    mask = jnp.logical_or(node_idx > 0, ~skip_first[:, None])
+    return jnp.where(mask[..., None], f, 0.0)

@@ -7,11 +7,13 @@ the fiber error metric — is traced into one jitted function, so a timestep is
 a single XLA computation. The host loop only does adaptive-dt control flow,
 backup/restore (cheap pytree references), and trajectory writes
 (system.cpp:516-571).
+
+Solution vector layout (system.cpp:69-90): [fibers (4n per fiber) | shell
+(3 per node) | bodies (3n+6 per body)].
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import logging
 import time as _walltime
@@ -21,12 +23,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from skellysim_tpu.body import container as bcont
 from skellysim_tpu.io import trajectory as tio
+from skellysim_tpu.periphery import Shell, ShellState
+from skellysim_tpu.periphery import shell as shell_ops
 from skellysim_tpu.solver import gmres
 from skellysim_tpu.system import fiber_system as fs
 from skellysim_tpu.system.sources import BackgroundFlow, PointSources
 
 logger = logging.getLogger("skellysim_tpu")
+
+
+def select_evaluators(pair_evaluator: str):
+    """Map the config's pair_evaluator to kernel implementations.
+
+    "direct"/"CPU" → pure-XLA kernels in the state dtype (f64): the
+    tight-tolerance path, and the analogue of the reference's CPU evaluator.
+    "pallas"/"GPU"/"FMM" → Pallas f32 tiled TPU kernels: the per-chip
+    speed-of-light path (the reference's GPU/FMM slot).
+    Returns (stokeslet_fn, stresslet_fn), None meaning library default.
+    """
+    if pair_evaluator in ("pallas", "GPU", "FMM"):
+        from skellysim_tpu.kernels.pallas_tpu import (
+            stokeslet_apply_pallas,
+            stresslet_apply_pallas,
+        )
+
+        return stokeslet_apply_pallas, stresslet_apply_pallas
+    return None, None
 
 
 class Params:
@@ -52,7 +76,13 @@ class Params:
         self.pair_evaluator = g("pair_evaluator", "direct")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
-        self.periphery_binding = table.get("periphery_binding", None)
+        pb = table.get("periphery_binding", None)
+        self.periphery_binding = {
+            "active": pb.get("active", False) if pb else False,
+            "polar_angle_start": pb.get("polar_angle_start", 0.0) if pb else 0.0,
+            "polar_angle_end": pb.get("polar_angle_end", np.pi) if pb else np.pi,
+            "threshold": pb.get("threshold", 0.75) if pb else 0.75,
+        }
         fpi = table.get("fiber_periphery_interaction", {})
         self.fp_f0 = fpi.get("f_0", 20.0)
         self.fp_l0 = fpi.get("l_0", 0.05)
@@ -72,92 +102,364 @@ class System:
         self.point_sources = PointSources.from_tables(config.get("point_sources", []))
         self.background = BackgroundFlow.from_table(config.get("background", {}))
 
-        # periphery / bodies slots (wired in by subclasses of capability growth)
-        self.shell = None
-        self.bodies = None
+        self.shell: Optional[Shell] = None
+        if "periphery" in config:
+            self.shell = Shell.from_precompute(config["periphery"])
+        self.bodies = bcont.BodyContainer.from_tables(config.get("bodies", []))
+
+        if self.shell is not None and self.background.is_active:
+            raise ValueError("Background sources are incompatible with peripheries "
+                             "(reference sanity_check, system.cpp:625-626)")
 
         self.rng = np.random.default_rng(self.params.seed)
 
-        self.curr_solution = np.zeros(self.total_solution_size())
         self._writer: Optional[tio.TrajectoryWriter] = None
         self._output_file = output_file
         self._listen = listen
         if resume:
             self._resume_from(output_file)
 
+        self.curr_solution = np.zeros(self.total_solution_size())
         self._step_fn = self._build_step_fn()
+        self._collision_fn = self._build_collision_fn()
+        self._velocity_fn = self._build_velocity_fn()
 
     # ---- sizes ----
-    def total_solution_size(self) -> int:
+    def fiber_solution_size(self) -> int:
         return self.fibers.solution_size
+
+    def shell_solution_size(self) -> int:
+        return self.shell.state.solution_size if self.shell else 0
+
+    def body_solution_size(self) -> int:
+        return self.bodies.solution_size
+
+    def total_solution_size(self) -> int:
+        return (self.fiber_solution_size() + self.shell_solution_size()
+                + self.body_solution_size())
 
     # ---- compiled timestep ----
     def _build_step_fn(self):
-        gmres_tol = self.params.gmres_tol
+        p = self.params
+        gmres_tol = p.gmres_tol
         restart = min(300, max(30, self.total_solution_size()))
-        eta = self.params.eta
-        delay = self.params.implicit_motor_activation_delay
+        eta = p.eta
+        delay = p.implicit_motor_activation_delay
         has_points = int(np.asarray(self.point_sources.position).shape[0]) > 0
         has_background = self.background.is_active
+        has_shell = self.shell is not None
+        shell_shape = self.shell.shape if has_shell else None
+        shell_radius = self.shell.radius if has_shell else 0.0
+        shell_abc = self.shell.abc if has_shell else (0.0, 0.0, 0.0)
+        pb = p.periphery_binding
+        pb_active = bool(pb["active"]) and has_shell
+        fp_f0, fp_l0 = p.fp_f0, p.fp_l0
         ops = self.fibers.ops
+        F = self.fiber_solution_size()
+        Nf = self.fibers.node_count
+
+        def _shell_collision_any(points, threshold):
+            if shell_shape == "sphere":
+                return shell_ops.sphere_collision(shell_radius, points, threshold)
+            if shell_shape == "ellipsoid":
+                return shell_ops.ellipsoid_collision(shell_abc, points, threshold)
+            return jnp.asarray(False)
+
+        def _repulsion(block):
+            skip = block.minus_clamped | (block.binding_body >= 0)
+            if shell_shape == "sphere":
+                return shell_ops.sphere_fiber_repulsion(shell_radius, block.x, skip, fp_f0, fp_l0)
+            if shell_shape == "ellipsoid":
+                return shell_ops.ellipsoid_fiber_repulsion(shell_abc, block.x, skip, fp_f0, fp_l0)
+            return jnp.zeros_like(block.x)
+
+        has_bodies = self.bodies.n_bodies > 0
+        n_bodies = self.bodies.n_bodies
+        Nb = self.bodies.node_count
+        Sz_shell = self.shell_solution_size()
+        force_types = tuple(self.bodies.force_types())
+        max_sites = self.bodies.max_sites()
+        FS = F + Sz_shell
+        ev_stk, ev_str = select_evaluators(p.pair_evaluator)
 
         @jax.jit
-        def step_fn(blocks, point_sources, background, dt, time):
-            # --- boundary conditions per block ---
+        def step_fn(blocks, shell_state, body_states, point_sources, background,
+                    dt, time):
+            # --- boundary conditions (update_boundary_conditions) ---
             bc_minus = [jnp.where(b.minus_clamped | (b.binding_body >= 0), 1, 0)
                         for b in blocks]
-            bc_plus = [jnp.zeros(b.n_fibers, jnp.int32) for b in blocks]
+            if pb_active:
+                bc_plus = []
+                for b in blocks:
+                    end = b.x[:, -1, :]
+                    end_hat = end / jnp.maximum(jnp.linalg.norm(end, axis=-1, keepdims=True), 1e-300)
+                    angle = jnp.arccos(jnp.clip(end_hat[:, 2], -1.0, 1.0))
+                    near = jax.vmap(lambda xf: _shell_collision_any(xf, pb["threshold"]))(b.x)
+                    hinged = ((angle >= pb["polar_angle_start"])
+                              & (angle <= pb["polar_angle_end"]) & near)
+                    bc_plus.append(hinged.astype(jnp.int32))
+            else:
+                bc_plus = [jnp.zeros(b.n_fibers, jnp.int32) for b in blocks]
 
-            r_all = fs.positions(blocks)
+            body_caches = bcont.update_caches(body_states, eta) if has_bodies else []
 
-            # --- external velocities/forces before the solve (prep_state) ---
-            v_all = jnp.zeros_like(r_all)
+            r_fib = fs.positions(blocks)
+            r_parts = [r_fib]
+            if has_shell:
+                r_parts.append(shell_state.nodes)
+            if has_bodies:
+                r_parts.append(bcont.positions(body_caches))
+            r_all = jnp.concatenate(r_parts, axis=0)
+
+            # --- pre-solve external forces and velocities (prep_state) ---
+            if has_shell:
+                f_ext = [_repulsion(b) for b in blocks]
+                f_ext_cat = jnp.concatenate([f.reshape(-1, 3) for f in f_ext], axis=0) \
+                    if f_ext else jnp.zeros((0, 3))
+                v_all = fs.flow(blocks, ops, r_all, f_ext_cat, eta, subtract_self=True,
+                                evaluator=ev_stk)
+            else:
+                f_ext = [jnp.zeros_like(b.x) for b in blocks]
+                v_all = jnp.zeros_like(r_all)
             if has_points:
                 v_all = v_all + point_sources.flow(r_all, eta, time)
             if has_background:
                 v_all = v_all + background.flow(r_all, eta)
+            if has_bodies:
+                ext_ft = bcont.external_forces_torques(body_states, force_types, time)
+                centers = jnp.stack([s.position for s in body_states])
+                from skellysim_tpu.kernels.reference import rotlet_apply, stokeslet_apply
+
+                v_all = v_all + stokeslet_apply(centers, ext_ft[:, :3], r_all, eta)
+                v_all = v_all + rotlet_apply(centers, ext_ft[:, 3:], r_all, eta)
 
             motor_on = (time >= delay).astype(r_all.dtype)
             motor = [motor_on * m for m in fs.constant_motor_force(blocks, ops)]
-            f_ext = [jnp.zeros_like(b.x) for b in blocks]  # periphery repulsion slot
             total_f = [m + fe for m, fe in zip(motor, f_ext)]
 
-            v_split = fs.split_nodes(blocks, v_all)
+            v_fib = v_all[:Nf]
+            v_split = fs.split_nodes(blocks, v_fib)
             caches = fs.update_caches(
                 blocks, ops, eta, dt, bc_minus, bc_plus,
                 flows=v_split, f_externals=total_f,
                 v_on_fibers=v_split, f_on_fibers=f_ext,
             )
-            b_vec = fs.rhs(caches)
+            rhs_parts = [fs.rhs(caches)]
+            if has_shell:
+                rhs_parts.append(shell_ops.update_rhs(v_all[Nf:Nf + shell_state.n_nodes]))
+            if has_bodies:
+                rhs_parts.append(bcont.rhs(body_states, v_all[r_all.shape[0] - Nb:]))
+            b_vec = jnp.concatenate(rhs_parts)
 
-            # --- matrix-free operator (System::apply_matvec) ---
+            # --- matrix-free operator (System::apply_matvec, system.cpp:269-324) ---
             def matvec_fn(x):
-                fw = fs.apply_fiber_force(blocks, caches, x)
-                v = fs.flow(blocks, ops, r_all, fw, eta, subtract_self=True)
-                return fs.matvec(blocks, ops, caches, x, v)
+                x_f = x[:F]
+                fw = fs.apply_fiber_force(blocks, caches, x_f)
+                v = fs.flow(blocks, ops, r_all, fw, eta, subtract_self=True,
+                            evaluator=ev_stk)
+                if has_shell:
+                    x_s = x[F:FS]
+                    # shell flow reaches fibers and bodies, not itself
+                    r_fibbody = (jnp.concatenate([r_fib, r_all[r_all.shape[0] - Nb:]])
+                                 if has_bodies else r_fib)
+                    u_sh = shell_ops.flow(shell_state, r_fibbody, x_s, eta,
+                                          evaluator=ev_str)
+                    v = v.at[:Nf].add(u_sh[:Nf])
+                    if has_bodies:
+                        v = v.at[r_all.shape[0] - Nb:].add(u_sh[Nf:])
+                if has_bodies:
+                    x_b = x[FS:]
+                    x_fib_split = fs.split_solution(blocks, x_f)
+                    v_on_fib, link_ft = bcont.link_conditions(
+                        blocks, ops, caches, x_fib_split, x_b,
+                        body_states, body_caches, max_sites)
+                    v = v + bcont.flow(body_states, body_caches, r_all, x_b,
+                                       link_ft, eta, evaluator_stresslet=ev_str,
+                                       evaluator_stokeslet=ev_stk)
+                else:
+                    v_on_fib = None
+                res = [fs.matvec(blocks, ops, caches, x_f, v[:Nf],
+                                 v_boundary=v_on_fib)]
+                if has_shell:
+                    res.append(shell_ops.matvec(shell_state, x[F:FS],
+                                                v[Nf:Nf + shell_state.n_nodes]))
+                if has_bodies:
+                    res.append(bcont.matvec(body_states, body_caches,
+                                            v[r_all.shape[0] - Nb:], x[FS:]))
+                return jnp.concatenate(res)
 
             def precond_fn(x):
-                return fs.precondition(blocks, caches, x)
+                res = [fs.precondition(blocks, caches, x[:F])]
+                if has_shell:
+                    res.append(shell_ops.precondition(shell_state, x[F:FS]))
+                if has_bodies:
+                    res.append(bcont.precondition(body_states, body_caches, x[FS:]))
+                return jnp.concatenate(res)
 
             res = gmres(matvec_fn, b_vec, tol=gmres_tol, restart=restart,
                         precond=precond_fn)
 
-            new_blocks = fs.step(blocks, res.x)
+            new_blocks = fs.step(blocks, res.x[:F])
+            new_shell = (shell_state.replace(solution=res.x[F:FS])
+                         if has_shell else shell_state)
+            if has_bodies:
+                new_bodies = bcont.step(body_states, res.x[FS:], dt)
+                new_blocks = bcont.repin_fibers(new_blocks, new_bodies, max_sites)
+            else:
+                new_bodies = body_states
             err = fs.fiber_error(new_blocks, ops)
-            return new_blocks, res.x, err, res.residual, res.iterations, res.converged
+            return (new_blocks, new_shell, new_bodies, res.x, err, res.residual,
+                    res.iterations, res.converged)
 
         return step_fn
+
+    def _build_collision_fn(self):
+        """Fiber-vs-periphery collision at threshold 0 for timestep rejection
+        (system.cpp:576-595, fiber_container_finite_difference.cpp:39-54)."""
+        if self.shell is None:
+            return None
+        shape = self.shell.shape
+        radius = self.shell.radius
+        abc = self.shell.abc
+
+        @jax.jit
+        def collide(blocks):
+            hits = []
+            for b in blocks:
+                skip_first = b.minus_clamped | (b.binding_body >= 0)
+
+                def check_one(xf, skip):
+                    pts = jnp.where(skip, xf.at[0].set(0.0)[0:1] * 0, xf[0:1])
+                    body = xf[1:]
+                    if shape == "sphere":
+                        hit = shell_ops.sphere_collision(radius, body, 0.0)
+                        hit_first = jnp.logical_and(
+                            ~skip, shell_ops.sphere_collision(radius, xf[0:1], 0.0))
+                    elif shape == "ellipsoid":
+                        hit = shell_ops.ellipsoid_collision(abc, body, 0.0)
+                        hit_first = jnp.logical_and(
+                            ~skip, shell_ops.ellipsoid_collision(abc, xf[0:1], 0.0))
+                    else:
+                        hit = jnp.asarray(False)
+                        hit_first = jnp.asarray(False)
+                    return jnp.logical_or(hit, hit_first)
+
+                hits.append(jnp.any(jax.vmap(check_one)(b.x, skip_first)))
+            return jnp.any(jnp.stack(hits)) if hits else jnp.asarray(False)
+
+        return collide
+
+    def _build_velocity_fn(self):
+        """Velocity field at arbitrary targets from the current solution
+        (System::velocity_at_targets, system.cpp:330-384)."""
+        p = self.params
+        eta = p.eta
+        has_shell = self.shell is not None
+        has_points = int(np.asarray(self.point_sources.position).shape[0]) > 0
+        has_background = self.background.is_active
+        ops = self.fibers.ops
+        F = self.fiber_solution_size()
+        shell_shape = self.shell.shape if has_shell else None
+        shell_radius = self.shell.radius if has_shell else 0.0
+        shell_abc = self.shell.abc if has_shell else (0.0, 0.0, 0.0)
+        fp_f0, fp_l0 = p.fp_f0, p.fp_l0
+        interaction = p.periphery_interaction_flag and has_shell
+
+        has_bodies = self.bodies.n_bodies > 0
+        max_sites = self.bodies.max_sites()
+        FS = F + self.shell_solution_size()
+
+        @jax.jit
+        def vel_fn(blocks, shell_state, body_states, point_sources, background,
+                   sol, r_trg, time):
+            from skellysim_tpu.fibers import fd_fiber as ff
+            from skellysim_tpu.body import rigid
+
+            u = jnp.zeros_like(r_trg)
+            fib_caches = []
+            if blocks:
+                f_parts = []
+                for b, op, xb in zip(blocks, ops, fs.split_solution(blocks, sol[:F])):
+                    c0, c1 = ff.sbt_constants(b, eta)
+                    xs, xss, *_ = ff.derivatives(b, op)
+                    fib_caches.append(xs)
+                    Fop = ff.assemble_force_operator(b, op, xs, xss)
+                    f = jnp.einsum("brc,bc->br", Fop, xb.reshape(b.n_fibers, -1))
+                    f = f.reshape(b.n_fibers, 3, b.n_nodes).transpose(0, 2, 1)
+                    if interaction:
+                        skip = b.minus_clamped | (b.binding_body >= 0)
+                        if shell_shape == "sphere":
+                            f = f + shell_ops.sphere_fiber_repulsion(
+                                shell_radius, b.x, skip, fp_f0, fp_l0)
+                        elif shell_shape == "ellipsoid":
+                            f = f + shell_ops.ellipsoid_fiber_repulsion(
+                                shell_abc, b.x, skip, fp_f0, fp_l0)
+                    f_parts.append(f.reshape(-1, 3))
+                f_nodes = jnp.concatenate(f_parts, axis=0)
+                u = u + fs.flow(blocks, ops, r_trg, f_nodes, eta, subtract_self=False)
+            if has_shell:
+                u = u + shell_ops.flow(shell_state, r_trg, sol[F:FS], eta)
+            if has_bodies:
+                body_caches = [rigid.geometry_cache(s) for s in body_states]
+
+                class _XsCache:  # adapter: link_conditions reads cache.xs only
+                    def __init__(self, xs):
+                        self.xs = xs
+
+                x_fib_split = fs.split_solution(blocks, sol[:F])
+                _, link_ft = bcont.link_conditions(
+                    blocks, ops, [_XsCache(x) for x in fib_caches], x_fib_split,
+                    sol[FS:], body_states, body_caches, max_sites)
+                u = u + bcont.flow(body_states, body_caches, r_trg, sol[FS:],
+                                   link_ft, eta)
+                # override points inside rigid bodies with rigid-body motion
+                # (system.cpp:362-381)
+                for s, body_shape_meta in zip(body_states, body_shapes):
+                    kind, radius, axes = body_shape_meta
+                    dx = r_trg - s.position[None, :]
+                    if kind == "ellipsoid":
+                        ax = jnp.asarray(axes)
+                        inside = jnp.sum((dx / ax) ** 2, axis=-1) < 1.0
+                    else:
+                        inside = jnp.sum(dx * dx, axis=-1) < radius * radius
+                    rigid_u = s.velocity[None, :] + jnp.cross(
+                        jnp.broadcast_to(s.angular_velocity, dx.shape), dx)
+                    u = jnp.where(inside[:, None], rigid_u, u)
+            if has_points:
+                u = u + point_sources.flow(r_trg, eta, time)
+            if has_background:
+                u = u + background.flow(r_trg, eta)
+            return u
+
+        body_shapes = tuple((b.shape, b.radius, b.axes) for b in self.bodies.bodies)
+        return vel_fn
+
+    def velocity_at_targets(self, r_trg) -> np.ndarray:
+        """(T, 3) velocity at targets from the current solution state."""
+        shell_state = self.shell.state if self.shell else None
+        u = self._velocity_fn(
+            self.fibers.blocks, shell_state, self.bodies.states(),
+            self.point_sources, self.background,
+            jnp.asarray(self.curr_solution), jnp.asarray(r_trg, jnp.float64),
+            jnp.asarray(self.time),
+        )
+        return np.asarray(u)
 
     # ---- host control ----
     def step(self):
         """One trial step at the current dt. Returns (fiber_error, converged)."""
         t0 = _walltime.perf_counter()
-        blocks, sol, err, resid, iters, conv = self._step_fn(
-            self.fibers.blocks, self.point_sources, self.background,
+        shell_state = self.shell.state if self.shell else None
+        (blocks, new_shell, new_bodies, sol, err, resid, iters, conv) = self._step_fn(
+            self.fibers.blocks, shell_state, self.bodies.states(),
+            self.point_sources, self.background,
             jnp.asarray(self.dt), jnp.asarray(self.time),
         )
         err = float(err)
         self.fibers.blocks = blocks
+        if self.shell is not None:
+            self.shell.state = new_shell
+        self.bodies.set_states(new_bodies)
         self.curr_solution = np.asarray(sol)
         logger.info(
             "solver: iters %d, residual %.3e, converged %s, wall %.3fs",
@@ -166,15 +468,45 @@ class System:
         return err, bool(conv)
 
     def check_collision(self) -> bool:
-        return False  # no periphery/bodies in the base configuration
+        """Any collision: fibers↔periphery, bodies↔periphery, body↔body
+        (system.cpp:576-595)."""
+        if self._collision_fn is not None and bool(self._collision_fn(self.fibers.blocks)):
+            return True
+        bodies = self.bodies.bodies
+        # body vs spherical periphery (periphery.cpp:94-97)
+        if self.shell is not None and self.shell.shape == "sphere":
+            for b in bodies:
+                if b.shape == "sphere":
+                    dist = float(np.linalg.norm(np.asarray(b.state.position))) + b.radius
+                    if dist > self.shell.radius:
+                        return True
+        # body vs body (spheres only, body_spherical.cpp:304-307)
+        for i, b1 in enumerate(bodies):
+            for b2 in bodies[i + 1:]:
+                if b1.shape == "sphere" and b2.shape == "sphere":
+                    d = np.linalg.norm(np.asarray(b1.state.position)
+                                       - np.asarray(b2.state.position))
+                    if d < b1.radius + b2.radius:
+                        return True
+        return False
 
     def run(self):
-        """Adaptive-dt time loop with trajectory writes (system.cpp:516-571)."""
+        """Adaptive-dt time loop with trajectory writes (system.cpp:516-571).
+
+        Deliberate deviation from the reference: the reference updates
+        properties.dt to the NEW step size before advancing time
+        (system.cpp:554-560), so during dt growth its clock runs ahead of the
+        physics by up to beta_up per step. Here time advances by the dt that
+        actually produced the accepted state; dt_new only applies to the next
+        step. The two agree whenever dt is at dt_max (all reference tests).
+        """
         p = self.params
         self._open_writer()
         self.write_config_snapshot("skelly_sim.initial_config")
         while self.time < p.t_final:
-            backup = self.fibers.blocks  # immutable pytrees: reference == backup
+            backup = (self.fibers.blocks, self.shell.state if self.shell else None,
+                      self.bodies.states())
+            dt_used = self.dt
             fiber_error, converged = self.step()
 
             dt_new = self.dt
@@ -195,11 +527,14 @@ class System:
                     raise RuntimeError("Timestep smaller than dt_min")
                 self.dt = dt_new
             if not p.adaptive_timestep_flag or accept:
-                self.time += self.dt
-                if int(self.time / p.dt_write) > int((self.time - self.dt) / p.dt_write):
+                self.time += dt_used
+                if int(self.time / p.dt_write) > int((self.time - dt_used) / p.dt_write):
                     self.write_frame()
             else:
-                self.fibers.blocks = backup
+                self.fibers.blocks = backup[0]
+                if self.shell is not None:
+                    self.shell.state = backup[1]
+                self.bodies.set_states(backup[2])
             logger.info("time %.6g, dt %.6g, fiber_error %.3e", self.time, dt_new, fiber_error)
         self.write_config_snapshot("skelly_sim.final_config")
 
@@ -230,10 +565,23 @@ class System:
                 x=np.asarray(b.x[row]),
                 minus_clamped=bool(b.minus_clamped[row]),
             ))
+        shell_solution = (np.asarray(self.shell.state.solution)
+                          if self.shell else np.zeros(0))
+        sph, ell = [], []
+        for body in self.bodies.bodies:
+            s = body.state
+            if body.shape == "ellipsoid":
+                ell.append(tio.pack_ellipsoidal_body(
+                    np.asarray(body.axes), np.asarray(s.position),
+                    np.asarray(s.orientation), np.asarray(s.solution)))
+            else:
+                sph.append(tio.pack_spherical_body(
+                    body.radius, np.asarray(s.position),
+                    np.asarray(s.orientation), np.asarray(s.solution)))
         return tio.pack_frame(
             time=self.time, dt=self.dt, rng_state=self._rng_state_strings(),
-            fibers=fib_entries, spherical_bodies=[], ellipsoidal_bodies=[],
-            shell_solution=np.zeros(0),
+            fibers=fib_entries, spherical_bodies=sph, ellipsoidal_bodies=ell,
+            shell_solution=shell_solution,
         )
 
     def write_frame(self):
@@ -260,6 +608,19 @@ class System:
                 tension=b.tension.at[row].set(jnp.asarray(fib["tension_"])),
                 length=b.length.at[row].set(fib["length_"]),
                 length_prev=b.length_prev.at[row].set(fib["length_prev_"]),
+            )
+        shell_sol = frame.get("shell", {}).get("solution_vec_")
+        if self.shell is not None and shell_sol is not None and len(shell_sol):
+            self.shell.state = self.shell.state.replace(
+                solution=jnp.asarray(shell_sol))
+        body_groups = frame.get("bodies", [[], [], []])
+        flat = list(body_groups[0]) + list(body_groups[2])
+        for body, entry in zip(self.bodies.bodies, flat):
+            q = np.asarray(entry["orientation_"])  # stored as w, x, y, z
+            body.state = body.state.replace(
+                position=jnp.asarray(entry["position_"]),
+                orientation=jnp.asarray(q),
+                solution=jnp.asarray(entry["solution_vec_"]),
             )
         try:
             self.rng.bit_generator.state = json.loads(frame["rng_state"][0][0])
