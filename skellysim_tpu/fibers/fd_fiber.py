@@ -89,6 +89,9 @@ class FiberBlock:
     binding_body: jax.Array     # (B,) int32, -1 = unbound
     binding_site: jax.Array     # (B,) int32
     minus_clamped: jax.Array    # (B,) bool
+    active: jax.Array           # (B,) bool — False rows are empty slots whose
+                                # operator is identity and whose forces/flows
+                                # are masked out (dynamic-instability padding)
 
     @property
     def n_fibers(self) -> int:
@@ -134,6 +137,7 @@ def make_fiber_block(
     binding_body=-1,
     binding_site=-1,
     minus_clamped=False,
+    active=True,
     dtype=jnp.float64,
 ) -> FiberBlock:
     """Build a block from per-fiber data (scalars broadcast across the batch)."""
@@ -156,6 +160,7 @@ def make_fiber_block(
         binding_body=arr(binding_body, jnp.int32),
         binding_site=arr(binding_site, jnp.int32),
         minus_clamped=jnp.broadcast_to(jnp.asarray(minus_clamped, dtype=bool), (B,)),
+        active=jnp.broadcast_to(jnp.asarray(active, dtype=bool), (B,)),
     )
 
 
@@ -494,6 +499,7 @@ def matvec(
     dtype = block.x.dtype
     xb = x_all.reshape(B, 4 * n)
     Ax = jnp.einsum("brc,bc->br", cache.A, xb)
+    v_fib = jnp.where(block.active[:, None, None], v_fib, 0.0)
 
     s = 2.0 / block.length_prev
     D1 = s[:, None, None] * ops.D1
@@ -530,6 +536,7 @@ def apply_fiber_force(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:
 def weighted_forces(block: FiberBlock, ops: FiberOperators, forces: jax.Array) -> jax.Array:
     """Quadrature-weight node forces for kernel evaluation: w = (L/2) w_alpha."""
     w = 0.5 * block.length[:, None] * ops.weights[None, :]
+    w = jnp.where(block.active[:, None], w, 0.0)
     return forces * w[:, :, None]
 
 
@@ -548,6 +555,7 @@ def fiber_error(block: FiberBlock, ops: FiberOperators) -> jax.Array:
     s = 2.0 / block.length
     xs = s[:, None, None] * jnp.einsum("ab,nbc->nac", ops.D1, block.x)
     err = jnp.abs(jnp.linalg.norm(xs, axis=-1) - 1.0)
+    err = jnp.where(block.active[:, None], err, 0.0)
     return jnp.max(err) if err.size else jnp.zeros((), block.x.dtype)
 
 
@@ -556,7 +564,10 @@ def step(block: FiberBlock, solution: jax.Array) -> FiberBlock:
     B, n = block.n_fibers, block.n_nodes
     sol = solution.reshape(B, 4, n)
     x_new = sol[:, :3, :].transpose(0, 2, 1)
-    return block.replace(x=x_new, tension=sol[:, 3, :], length_prev=block.length)
+    act = block.active
+    x_new = jnp.where(act[:, None, None], x_new, block.x)
+    t_new = jnp.where(act[:, None], sol[:, 3, :], block.tension)
+    return block.replace(x=x_new, tension=t_new, length_prev=block.length)
 
 
 def update_cache(
@@ -585,6 +596,11 @@ def update_cache(
         block, ops, A, RHS, xs, xss, c0, c1, dt, bc_minus, bc_plus,
         v_on_fiber, f_on_fiber,
     )
+    act = block.active
+    eye = jnp.eye(A_bc.shape[1], dtype=A_bc.dtype)
+    A_bc = jnp.where(act[:, None, None], A_bc, eye)
+    RHS_bc = jnp.where(act[:, None], RHS_bc, 0.0)
+    F = jnp.where(act[:, None, None], F, 0.0)
     lu, piv = factorize(A_bc)
     return FiberBlockCache(
         xs=xs, xss=xss, xsss=xsss, xssss=xssss, c0=c0, c1=c1,

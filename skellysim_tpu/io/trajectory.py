@@ -187,23 +187,40 @@ class TrajectoryReader:
         except (OSError, ValueError, KeyError):
             pass
 
-        with open(self.path, "rb") as f:
-            unpacker = msgpack.Unpacker(f, raw=False)
-            first = unpacker.unpack()
-            if isinstance(first, dict) and "trajversion" in first:
-                self.header = first
-            else:
-                # headerless stream: first object is already a frame
-                self.offsets.append(0)
-                self.times.append(first["time"])
-            while True:
-                pos = unpacker.tell()
-                try:
-                    obj = unpacker.unpack()
-                except msgpack.OutOfData:
-                    break
-                self.offsets.append(pos)
-                self.times.append(obj["time"])
+        scanned = False
+        try:
+            from skellysim_tpu.io.native import scan_frames
+
+            result = scan_frames(self.path)
+            if result is not None:
+                offsets, times, header_bytes = result
+                self.offsets = [int(o) for o in offsets]
+                self.times = [float(t) for t in times]
+                if header_bytes > 0:
+                    with open(self.path, "rb") as f:
+                        self.header = msgpack.Unpacker(f, raw=False).unpack()
+                scanned = True
+        except Exception:
+            scanned = False
+
+        if not scanned:
+            with open(self.path, "rb") as f:
+                unpacker = msgpack.Unpacker(f, raw=False)
+                first = unpacker.unpack()
+                if isinstance(first, dict) and "trajversion" in first:
+                    self.header = first
+                else:
+                    # headerless stream: first object is already a frame
+                    self.offsets.append(0)
+                    self.times.append(first["time"])
+                while True:
+                    pos = unpacker.tell()
+                    try:
+                        obj = unpacker.unpack()
+                    except msgpack.OutOfData:
+                        break
+                    self.offsets.append(pos)
+                    self.times.append(obj["time"])
         try:
             with open(self._index_path(), "wb") as f:
                 f.write(msgpack.packb({"mtime": mtime, "offsets": self.offsets,

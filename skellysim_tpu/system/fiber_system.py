@@ -70,6 +70,81 @@ class FiberEnsemble:
         return sum(b.n_fibers for b in self.blocks)
 
     @property
+    def n_active(self) -> int:
+        return int(sum(np.asarray(b.active).sum() for b in self.blocks))
+
+    def active_rows(self):
+        """[(block_idx, row)] for live fibers, in stable block/row order."""
+        out = []
+        for bi, b in enumerate(self.blocks):
+            for row in np.flatnonzero(np.asarray(b.active)):
+                out.append((bi, int(row)))
+        return out
+
+    def set_row(self, bi: int, row: int, **fields) -> None:
+        """Write per-fiber fields into one slot (host-side mutation)."""
+        b = self.blocks[bi]
+        updates = {}
+        for name, val in fields.items():
+            arr = getattr(b, name)
+            updates[name] = arr.at[row].set(val)
+        self.blocks[bi] = b.replace(**updates)
+
+    def free_slot(self, n_nodes: int, grow_chunk: int = 8):
+        """(block_idx, row, grew) of a free slot for an n_nodes fiber,
+        growing block capacity (and forcing recompilation) when full."""
+        import jax.numpy as jnp
+
+        from skellysim_tpu.fibers import fd_fiber as ff
+        from skellysim_tpu.fibers.fd_fiber import FiberOperators
+
+        for bi, b in enumerate(self.blocks):
+            if b.n_nodes != n_nodes:
+                continue
+            inactive = np.flatnonzero(~np.asarray(b.active))
+            if len(inactive):
+                return bi, int(inactive[0]), False
+            # grow this block
+            B = b.n_fibers
+
+            def pad_leaf(a):
+                if not hasattr(a, "shape") or a.ndim == 0 or a.shape[0] != B:
+                    return a
+                widths = [(0, grow_chunk)] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, widths)
+
+            grown = jax.tree_util.tree_map(pad_leaf, b)
+            # park new slots as benign unit fibers
+            t = jnp.linspace(0.0, 1.0, n_nodes)
+            straight = jnp.stack([t * 0, t * 0, t], axis=-1)
+            grown = grown.replace(
+                x=grown.x.at[B:].set(straight),
+                length=grown.length.at[B:].set(1.0),
+                length_prev=grown.length_prev.at[B:].set(1.0),
+                bending_rigidity=grown.bending_rigidity.at[B:].set(1e-3),
+                radius=grown.radius.at[B:].set(0.0125),
+                penalty_param=grown.penalty_param.at[B:].set(500.0),
+                beta_tstep=grown.beta_tstep.at[B:].set(1.0),
+                binding_body=grown.binding_body.at[B:].set(-1),
+                binding_site=grown.binding_site.at[B:].set(-1),
+            )
+            self.blocks[bi] = grown
+            return bi, B, True
+        # no block with this node count yet: create one
+        from skellysim_tpu.fibers import fd_fiber as ff2
+
+        t = np.linspace(0.0, 1.0, n_nodes)
+        straight = np.stack([0 * t, 0 * t, t], axis=-1)
+        block = ff2.make_fiber_block(
+            np.broadcast_to(straight, (grow_chunk, n_nodes, 3)).copy(),
+            lengths=1.0, bending_rigidity=1e-3, active=False)
+        from skellysim_tpu.fibers.fd_fiber import FiberOperators as FO
+
+        self.blocks.append(block)
+        self.ops.append(FO.for_node_count(n_nodes))
+        return len(self.blocks) - 1, 0, True
+
+    @property
     def node_count(self) -> int:
         return sum(b.n_fibers * b.n_nodes for b in self.blocks)
 

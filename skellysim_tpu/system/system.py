@@ -116,10 +116,10 @@ class System:
         self._writer: Optional[tio.TrajectoryWriter] = None
         self._output_file = output_file
         self._listen = listen
+        self.curr_solution = np.zeros(self.total_solution_size())
         if resume:
             self._resume_from(output_file)
 
-        self.curr_solution = np.zeros(self.total_solution_size())
         self._step_fn = self._build_step_fn()
         self._collision_fn = self._build_collision_fn()
         self._velocity_fn = self._build_velocity_fn()
@@ -445,9 +445,113 @@ class System:
         )
         return np.asarray(u)
 
+    # ---- dynamic instability (host-side stochastic events) ----
+    def _plus_pinned_mask(self, block) -> np.ndarray:
+        """Host-side replica of the step's plus-end binding criterion."""
+        pb = self.params.periphery_binding
+        if self.shell is None or not pb["active"]:
+            return np.zeros(block.n_fibers, bool)
+        x = np.asarray(block.x)
+        end = x[:, -1, :]
+        nrm = np.maximum(np.linalg.norm(end, axis=-1), 1e-300)
+        angle = np.arccos(np.clip(end[:, 2] / nrm, -1, 1))
+        thr = pb["threshold"]
+        if self.shell.shape == "sphere":
+            near = np.any(np.linalg.norm(x, axis=-1) >= self.shell.radius - thr, axis=1)
+        else:
+            near = np.zeros(block.n_fibers, bool)
+        return ((angle >= pb["polar_angle_start"]) & (angle <= pb["polar_angle_end"])
+                & near)
+
+    def dynamic_instability(self) -> bool:
+        """Stochastic catastrophe/growth/nucleation (dynamic_instability.cpp:25-194).
+
+        Host-side: per-fiber catastrophe draws deactivate slots; survivors
+        grow by v_growth·dt; a Poisson number of new fibers nucleate at
+        unoccupied body sites, pointing radially outward. Returns True when
+        block capacity changed (the compiled step must be rebuilt).
+        """
+        di = self.params.dynamic_instability
+        if not di or di.get("n_nodes", 0) == 0:
+            return False
+        dt = self.dt
+        grew = False
+        occupied = set()
+
+        for bi, blk in enumerate(self.fibers.blocks):
+            act = np.asarray(blk.active)
+            if not act.any():
+                continue
+            binding_body = np.asarray(blk.binding_body)
+            binding_site = np.asarray(blk.binding_site)
+            length = np.array(np.asarray(blk.length))
+            length_prev = np.array(np.asarray(blk.length_prev))
+            v_growth = np.array(np.asarray(blk.v_growth))
+            pinned = self._plus_pinned_mask(blk)
+            new_active = act.copy()
+            for row in np.flatnonzero(act):
+                vg = di["v_growth"]
+                f_cat = di["f_catastrophe"]
+                if pinned[row]:
+                    vg *= di["v_grow_collision_scale"]
+                    f_cat *= di["f_catastrophe_collision_scale"]
+                if self.rng.uniform() > np.exp(-dt * f_cat):
+                    new_active[row] = False
+                else:
+                    if binding_body[row] >= 0:
+                        occupied.add((int(binding_body[row]), int(binding_site[row])))
+                    length_prev[row] = length[row]
+                    length[row] += dt * vg
+                    v_growth[row] = vg
+            self.fibers.blocks[bi] = blk.replace(
+                active=jnp.asarray(new_active),
+                length=jnp.asarray(length), length_prev=jnp.asarray(length_prev),
+                v_growth=jnp.asarray(v_growth))
+
+        # nucleation at unoccupied sites
+        all_sites = []
+        for ib, body in enumerate(self.bodies.bodies):
+            for isite in range(body.state.nucleation_sites_ref.shape[0]):
+                all_sites.append((ib, isite))
+        inactive_sites = [s for s in all_sites if s not in occupied]
+        if inactive_sites:
+            lam = dt * di["nucleation_rate"] * len(inactive_sites)
+            n_new = min(int(self.rng.poisson(lam)), len(inactive_sites))
+            for _ in range(n_new):
+                pick = int(self.rng.integers(0, len(inactive_sites)))
+                ib, isite = inactive_sites.pop(pick)
+                body = self.bodies.bodies[ib]
+                from skellysim_tpu.body.rigid import place as body_place
+
+                _, _, sites = body_place(body.state)
+                origin = np.asarray(sites[isite])
+                u = origin - np.asarray(body.state.position)
+                u /= np.linalg.norm(u)
+                n = int(di["n_nodes"])
+                L0 = di["min_length"]
+                s = np.linspace(0.0, L0, n)
+                x = origin[None, :] + u[None, :] * s[:, None]
+                bi, row, g = self.fibers.free_slot(n)
+                grew = grew or g
+                self.fibers.set_row(
+                    bi, row,
+                    x=jnp.asarray(x), tension=jnp.zeros(n),
+                    length=L0, length_prev=L0,
+                    bending_rigidity=di["bending_rigidity"],
+                    radius=di["radius"], force_scale=0.0, v_growth=0.0,
+                    binding_body=ib, binding_site=isite,
+                    minus_clamped=False, active=True,
+                )
+        return grew
+
     # ---- host control ----
     def step(self):
         """One trial step at the current dt. Returns (fiber_error, converged)."""
+        if self.dynamic_instability():
+            logger.info("fiber capacity changed; recompiling step")
+            self._step_fn = self._build_step_fn()
+            self._collision_fn = self._build_collision_fn()
+            self._velocity_fn = self._build_velocity_fn()
         t0 = _walltime.perf_counter()
         shell_state = self.shell.state if self.shell else None
         (blocks, new_shell, new_bodies, sol, err, resid, iters, conv) = self._step_fn(
@@ -549,7 +653,10 @@ class System:
 
     def _frame_dict(self) -> dict:
         fib_entries = []
-        for bi, row in self.fibers.perm:
+        di_on = bool(self.params.dynamic_instability
+                     and self.params.dynamic_instability.get("n_nodes", 0))
+        rows = self.fibers.active_rows() if di_on else self.fibers.perm
+        for bi, row in rows:
             b = self.fibers.blocks[bi]
             fib_entries.append(tio.pack_fiber(
                 n_nodes=b.n_nodes,
@@ -594,12 +701,30 @@ class System:
 
             f.write(msgpack.packb(self._frame_dict()))
 
-    def _resume_from(self, path: str):
-        reader = tio.TrajectoryReader(path)
-        frame = reader.load_frame(-1)
+    def load_frame_state(self, frame: dict) -> None:
+        """Restore full system state from a decoded trajectory frame
+        (trajectory_reader.cpp:126-251 semantics, single logical rank)."""
         self.time = frame["time"]
         self.dt = frame["dt"]
         fibers = frame["fibers"][1]
+        if len(fibers) != self.fibers.n_fibers or any(
+                self.fibers.blocks[bi].n_nodes != fib["n_nodes_"]
+                for (bi, _), fib in zip(self.fibers.perm or [], fibers)):
+            # fiber population changed (dynamic instability): rebuild ensemble
+            tables = [{
+                "x": np.asarray(f["x_"]).ravel().tolist(),
+                "length": f["length_"],
+                "bending_rigidity": f["bending_rigidity_"],
+                "radius": f["radius_"],
+                "force_scale": f["force_scale_"],
+                "parent_body": f["binding_site_"][0],
+                "parent_site": f["binding_site_"][1],
+                "minus_clamped": f["minus_clamped_"],
+            } for f in fibers]
+            self.fibers = fs.FiberEnsemble.from_tables(tables)
+            rebuilt = True
+        else:
+            rebuilt = False
         for i, fib in enumerate(fibers):
             bi, row = self.fibers.perm[i]
             b = self.fibers.blocks[bi]
@@ -624,8 +749,41 @@ class System:
             )
         try:
             self.rng.bit_generator.state = json.loads(frame["rng_state"][0][0])
-        except (KeyError, ValueError, IndexError):
+        except (KeyError, ValueError, IndexError, TypeError):
             logger.warning("could not restore RNG state; reseeding")
+        if rebuilt and hasattr(self, "_step_fn"):
+            self._step_fn = self._build_step_fn()
+            self._collision_fn = self._build_collision_fn()
+            self._velocity_fn = self._build_velocity_fn()
+        # rebuild the solution vector from restored component solutions; the
+        # fiber slots are [x; y; z; T] of the restored state itself
+        # (trajectory_reader.cpp:238-246)
+        sol = np.zeros(self.total_solution_size())
+        off = 0
+        for b in self.fibers.blocks:
+            x = np.asarray(b.x)        # (B, n, 3)
+            T = np.asarray(b.tension)  # (B, n)
+            packed = np.concatenate([x.transpose(0, 2, 1),
+                                     T[:, None, :]], axis=1)  # (B, 4, n)
+            cnt = packed.size
+            sol[off:off + cnt] = packed.reshape(-1)
+            off += cnt
+        F = self.fiber_solution_size()
+        FS = F + self.shell_solution_size()
+        if self.shell is not None:
+            sol[F:FS] = np.asarray(self.shell.state.solution)
+        off = FS
+        for body in self.bodies.bodies:
+            n = body.state.solution_size
+            stored = np.asarray(body.state.solution)
+            if stored.size == n:
+                sol[off:off + n] = stored
+            off += n
+        self.curr_solution = sol
+
+    def _resume_from(self, path: str):
+        reader = tio.TrajectoryReader(path)
+        self.load_frame_state(reader.load_frame(-1))
         self._open_writer(resume=True)
 
 

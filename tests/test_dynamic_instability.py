@@ -1,0 +1,105 @@
+"""Dynamic instability: stochastic nucleation/catastrophe with active-mask slots.
+
+Mirrors the reference's semantics (src/core/dynamic_instability.cpp): survivors
+grow by v_growth·dt, catastrophes free their slot and nucleation site, new
+fibers appear at unoccupied sites pointing radially outward."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from skellysim_tpu.config import Body, Config, Fiber
+from skellysim_tpu.io import tomlio
+from skellysim_tpu.precompute.main import precompute_body
+from skellysim_tpu.system import System
+
+
+@pytest.fixture
+def sim_dir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _system(sim_dir, v_growth=0.5, f_catastrophe=0.0, nucleation_rate=0.0,
+            n_sites=4):
+    config = Config()
+    config.params.eta = 1.0
+    config.params.dt_initial = 0.01
+    config.params.dt_min = 1e-5
+    config.params.dt_max = 0.01
+    config.params.dt_write = 0.01
+    config.params.t_final = 0.03
+    config.params.gmres_tol = 1e-10
+    config.params.pair_evaluator = "direct"
+    config.params.seed = 42
+    config.params.dynamic_instability.n_nodes = 8
+    config.params.dynamic_instability.v_growth = v_growth
+    config.params.dynamic_instability.f_catastrophe = f_catastrophe
+    config.params.dynamic_instability.nucleation_rate = nucleation_rate
+    config.params.dynamic_instability.min_length = 0.3
+    config.params.dynamic_instability.bending_rigidity = 0.0025
+    config.params.dynamic_instability.radius = 0.025
+
+    radius = 0.5
+    sites = []
+    for k in range(n_sites):
+        phi = 2 * np.pi * k / n_sites
+        sites += [radius * np.cos(phi), radius * np.sin(phi), 0.0]
+    config.bodies = [Body(shape="sphere", radius=radius, n_nodes=300,
+                          nucleation_sites=sites,
+                          precompute_file="body_precompute.npz")]
+
+    fib = Fiber(length=0.5, n_nodes=8, bending_rigidity=0.0025,
+                parent_body=0, parent_site=0)
+    fib.fill_node_positions(np.array([radius, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]))
+    config.fibers = [fib]
+    config.save("skelly_config.toml")
+    cfg = tomlio.load("skelly_config.toml")
+    precompute_body(cfg["bodies"][0])
+    return System(cfg)
+
+
+def test_growth_without_events(sim_dir):
+    system = _system(sim_dir, v_growth=0.5)
+    L0 = float(system.fibers.blocks[0].length[0])
+    system.run()
+    L = float(system.fibers.blocks[0].length[0])
+    # three accepted steps of dt=0.01 at v=0.5 → ΔL = 0.015 (one DI growth per
+    # accepted step; rejected steps are restored)
+    assert L > L0 + 0.5 * 0.01 - 1e-12
+    assert system.fibers.n_active == 1
+
+
+def test_catastrophe_removes_fibers(sim_dir):
+    system = _system(sim_dir, v_growth=0.0, f_catastrophe=1e6)
+    system.run()
+    assert system.fibers.n_active == 0
+
+
+def test_nucleation_fills_sites(sim_dir):
+    system = _system(sim_dir, v_growth=0.0, nucleation_rate=1e4, n_sites=4)
+    system.run()
+    # nucleation should have filled all four sites (one was initially taken)
+    assert system.fibers.n_active == 4
+    # every active fiber is bound to a distinct site
+    seen = set()
+    for bi, row in system.fibers.active_rows():
+        b = system.fibers.blocks[bi]
+        key = (int(b.binding_body[row]), int(b.binding_site[row]))
+        assert key not in seen
+        seen.add(key)
+    # nucleated fibers point radially outward from the body surface
+    for bi, row in system.fibers.active_rows():
+        b = system.fibers.blocks[bi]
+        x = np.asarray(b.x[row])
+        r0, r1 = np.linalg.norm(x[0]), np.linalg.norm(x[-1])
+        assert r1 > r0
+
+
+def test_capacity_growth_recompiles_and_runs(sim_dir):
+    system = _system(sim_dir, v_growth=0.0, nucleation_rate=1e4, n_sites=4)
+    B_before = system.fibers.blocks[0].n_fibers
+    system.run()
+    assert system.fibers.n_fibers >= 4  # capacity grew beyond the single slot
+    assert np.isfinite(system.curr_solution).all()
