@@ -68,11 +68,18 @@ class Listener:
 
     def __init__(self, config_file: str = "skelly_config.toml",
                  python: Optional[str] = None, extra_args: List[str] = ()):
+        import os
+
         python = python or sys.executable
+        # make the package importable from any working directory
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
         self.proc = subprocess.Popen(
             [python, "-m", "skellysim_tpu.cli", f"--config-file={config_file}",
              "--listen", *extra_args],
-            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env,
         )
 
     def request(self, req: Request) -> Optional[dict]:
