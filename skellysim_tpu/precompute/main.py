@@ -106,8 +106,11 @@ def precompute_periphery(config: dict) -> dict | None:
         height = _envelope_height_fn(env)
         surf = shapes.surface_of_revolution(
             height, env["lower_bound"], env["upper_bound"],
-            target_nodes=peri.get("n_nodes", 6000), scale_factor=sf)
-        weights = quadrature.triangulated_weights(surf.nodes)
+            target_nodes=peri.get("n_nodes", env.get("n_nodes_target", 6000)),
+            scale_factor=sf)
+        # ring-product weights from the mesh structure (exact azimuthally)
+        weights = surf.weights if surf.weights is not None else \
+            quadrature.triangulated_weights(surf.nodes)
         peri["n_nodes"] = surf.nodes.shape[0]
     else:
         raise ValueError(f"unknown periphery shape {shape!r}")

@@ -24,6 +24,8 @@ class Surface:
     normals: np.ndarray        # (N, 3) outward unit normals
     h: Optional[Callable] = None       # level-set h(p) == 0 on the surface
     gradh: Optional[Callable] = None   # its gradient
+    weights: Optional[np.ndarray] = None  # (N,) quadrature weights when the
+                                          # mesh structure provides them
 
 
 def fibonacci_sphere_directions(n_nodes: int) -> np.ndarray:
@@ -87,21 +89,26 @@ def surface_of_revolution(height_func: Callable[[np.ndarray], np.ndarray],
     s_targets = (np.arange(n_rings) + 0.5) / n_rings * total_len
     ring_x = np.interp(s_targets, arel, xs)
 
-    nodes, normals = [], []
+    nodes, normals, weights = [], [], []
     dx = (upper - lower) * 1e-6
-    for rx in ring_x:
+    ds_ring = total_len / n_rings  # arclength band per ring (midpoint rule)
+    for k, rx in enumerate(ring_x):
         r = float(height_func(np.array([np.clip(rx, lower + eps, upper - eps)]))[0])
         if r <= 0:
             continue
-        n_phi = max(6, int(round(2 * np.pi * r / (total_len / n_rings))))
-        phi = 2 * np.pi * (np.arange(n_phi) + 0.5 * (rx // dx % 2)) / n_phi
+        n_phi = max(6, int(round(2 * np.pi * r / ds_ring)))
+        phi = 2 * np.pi * (np.arange(n_phi) + 0.5 * (k % 2)) / n_phi
         xq = np.clip([rx - dx, rx + dx], lower + eps, upper - eps)
         drdx = (height_func(np.array([xq[1]]))[0] - height_func(np.array([xq[0]]))[0]) / (xq[1] - xq[0])
+        # product midpoint rule: band arclength × azimuthal arc per node
+        w = ds_ring * (2 * np.pi * r / n_phi)
         for p in phi:
             cy, sy = np.cos(p), np.sin(p)
             nodes.append([rx, r * cy, r * sy])
             nrm = np.array([-drdx, cy, sy])
             normals.append(nrm / np.linalg.norm(nrm))
+            weights.append(w)
     nodes = np.asarray(nodes) * scale_factor
     normals = np.asarray(normals)
-    return Surface(nodes=nodes, normals=normals)
+    weights = np.asarray(weights) * scale_factor**2
+    return Surface(nodes=nodes, normals=normals, weights=weights)
