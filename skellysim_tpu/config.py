@@ -92,6 +92,69 @@ class Fiber:
         self.x = pos.ravel().tolist()
 
 
+def _sample_sphere_directions(rng, n):
+    v = rng.normal(size=(n, 3))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _reject_min_separation(points_iter, n_wanted, ds_min, existing=()):
+    """Greedy rejection sampling for a minimum pairwise separation."""
+    accepted = list(existing)
+    out = []
+    for p in points_iter:
+        if len(out) >= n_wanted:
+            break
+        if all(np.dot(p - q, p - q) >= ds_min * ds_min for q in accepted):
+            accepted.append(p)
+            out.append(p)
+    if len(out) < n_wanted:
+        raise RuntimeError(
+            f"could only place {len(out)}/{n_wanted} points at separation {ds_min}")
+    return np.asarray(out)
+
+
+def perturbed_fiber_positions(amplitude: float, length: float, x0: np.ndarray,
+                              normal: np.ndarray, n_nodes: int,
+                              ortho: Optional[np.ndarray] = None,
+                              rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Fiber nodes with a small cosine perturbation orthogonal to its axis,
+    arclength-parametrized so the node spacing stays uniform (the config-side
+    seed shape for buckling studies; skelly_config.py:130-171 analogue)."""
+    rng = rng or np.random.default_rng()
+    normal = np.asarray(normal, float)
+    normal = normal / np.linalg.norm(normal)
+    if ortho is None:
+        ref = np.array([1.0, 0.0, 0.0]) if abs(normal[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        b = np.cross(normal, ref)
+        b /= np.linalg.norm(b)
+        c = np.cross(normal, b)
+        theta = 2 * np.pi * rng.uniform()
+        ortho = b * np.cos(theta) + c * np.sin(theta)
+
+    # find the axial extent x_max whose perturbed curve has arclength `length`
+    def arclen(x_max):
+        t = np.linspace(0, x_max, 2048)
+        y = amplitude * (np.cos(2 * np.pi * t / x_max) - 1)
+        return np.sum(np.hypot(np.diff(t), np.diff(y)))
+
+    lo, hi = 0.25 * length, length
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if arclen(mid) < length:
+            lo = mid
+        else:
+            hi = mid
+    x_max = 0.5 * (lo + hi)
+
+    t = np.linspace(0, x_max, 4096)
+    y = amplitude * (np.cos(2 * np.pi * t / x_max) - 1)
+    s = np.concatenate([[0], np.cumsum(np.hypot(np.diff(t), np.diff(y)))])
+    s_nodes = np.linspace(0, s[-1], n_nodes)
+    t_nodes = np.interp(s_nodes, s, t)
+    y_nodes = amplitude * (np.cos(2 * np.pi * t_nodes / x_max) - 1)
+    return np.asarray(x0) + np.outer(t_nodes, normal) + np.outer(y_nodes, ortho)
+
+
 @dataclass
 class Periphery:
     """Confining boundary. ``precompute_file`` is generated by the precompute
@@ -106,6 +169,59 @@ class Periphery:
     envelope: Optional[dict] = None  # surface-of-revolution height function spec
     precompute_file: str = "periphery_precompute.npz"
 
+    def _surface_samples(self, rng, n):
+        """Uniform samples on the attachment surface, pointing-inward normals."""
+        if self.shape == "sphere":
+            u = _sample_sphere_directions(rng, n)
+            return self.radius * u, -u
+        if self.shape == "ellipsoid":
+            # rejection sampling weighted by the ellipsoid area element
+            pts, nrms = [], []
+            while len(pts) < n:
+                u = _sample_sphere_directions(rng, 4 * n)
+                x = u * np.array([self.a, self.b, self.c])
+                g = 2 * x / np.array([self.a, self.b, self.c]) ** 2
+                w = np.linalg.norm(g * np.array([self.a, self.b, self.c]), axis=1)
+                keep = rng.uniform(0, w.max(), len(w)) < w
+                for xi, gi in zip(x[keep], g[keep]):
+                    pts.append(xi)
+                    nrms.append(-gi / np.linalg.norm(gi))
+            return np.asarray(pts[:n]), np.asarray(nrms[:n])
+        if self.shape == "surface_of_revolution":
+            from skellysim_tpu.precompute.main import _envelope_height_fn
+
+            env = self.envelope
+            h = _envelope_height_fn(env)
+            lo, hi = env["lower_bound"], env["upper_bound"]
+            eps = (hi - lo) * 1e-6
+            xs = np.linspace(lo + eps, hi - eps, 4001)
+            r = h(xs)
+            dr = np.gradient(r, xs)
+            dens = r * np.sqrt(1 + dr * dr)  # area density per unit x
+            cdf = np.cumsum(dens)
+            cdf /= cdf[-1]
+            xi = np.interp(rng.uniform(size=n), cdf, xs)
+            ri = np.interp(xi, xs, r)
+            dri = np.interp(xi, xs, dr)
+            phi = 2 * np.pi * rng.uniform(size=n)
+            pts = np.stack([xi, ri * np.cos(phi), ri * np.sin(phi)], axis=1)
+            nrm = np.stack([-dri, np.cos(phi), np.sin(phi)], axis=1)
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            return pts, -nrm
+        raise ValueError(f"unsupported periphery shape {self.shape!r}")
+
+    def move_fibers_to_surface(self, fibers: List["Fiber"], ds_min: float,
+                               seed: int = 0) -> None:
+        """Place fiber minus ends uniformly on the surface (min separation
+        ds_min), pointing inward, clamped (skelly_config.py:529-607)."""
+        rng = np.random.default_rng(seed)
+        pts, nrms = self._surface_samples(rng, 20 * len(fibers) + 100)
+        chosen = _reject_min_separation(iter(pts), len(fibers), ds_min)
+        for fib, x0 in zip(fibers, chosen):
+            idx = int(np.argmin(np.linalg.norm(pts - x0, axis=1)))
+            fib.fill_node_positions(x0, nrms[idx])
+            fib.minus_clamped = True
+
 
 @dataclass
 class Body:
@@ -115,7 +231,23 @@ class Body:
     axis_length: List[float] = field(default_factory=lambda: [1.0, 1.0, 1.0])  # ellipsoid
     position: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
     orientation: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0, 1.0])
+    n_nucleation_sites: int = 0
     nucleation_sites: List[float] = field(default_factory=list)
+
+    def generate_nucleation_sites(self, ds_min: float, seed: int = 0) -> None:
+        """Uniform random fiber-binding sites on the sphere surface with a
+        minimum separation (skelly_config.py:808-847)."""
+        if self.shape != "sphere":
+            raise ValueError("nucleation sites only generated for spheres")
+        rng = np.random.default_rng(seed)
+        com = np.asarray(self.position)
+
+        def gen():
+            while True:
+                yield com + self.radius * _sample_sphere_directions(rng, 1)[0]
+
+        sites = _reject_min_separation(gen(), self.n_nucleation_sites, ds_min)
+        self.nucleation_sites = sites.ravel().tolist()
     external_force: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
     external_torque: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
     external_force_type: str = "Linear"   # Linear | Oscillatory
