@@ -48,6 +48,32 @@ def _chain_bench(kernel, n, K, device, dtype):
     return (time.perf_counter() - t0) / K
 
 
+def _bench_system_step(n_fibers=64, n_nodes=32, evaluator="direct"):
+    """Wall time of the full jitted implicit timestep (assembly + GMRES +
+    advance) for a batch of interacting fibers — the reference's
+    'GMRES wall-time per timestep' headline (BASELINE.md metric 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    system = ge._tiny_system(n_fibers=n_fibers, n_nodes=n_nodes,
+                             precision="single", evaluator=evaluator,
+                             gmres_tol=1e-5)
+    args = (system.fibers.blocks, None, system.bodies.states(),
+            system.point_sources, system.background,
+            jnp.asarray(1e-3, system.dtype), jnp.asarray(0.0, system.dtype))
+    out = system._step_fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        out = system._step_fn(*args)
+        # force a real sync through a scalar readback (tunneled backends)
+        float(out[4])
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -82,6 +108,12 @@ def main():
                 print(f"tpu {name} failed: {e}", file=sys.stderr)
         best = max(rates.values())
         value, ratio = best, best / cpu_rate
+        try:
+            dt_step = _bench_system_step(evaluator="pallas")
+            print(f"tpu coupled step f32 (64 fibers x 32 nodes): {dt_step*1e3:.1f} ms",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"coupled-step bench failed: {e}", file=sys.stderr)
     else:
         value, ratio = cpu_rate, 1.0
 

@@ -34,8 +34,12 @@ class BodyContainer:
         self.bodies = bodies
 
     @staticmethod
-    def from_tables(body_tables: List[dict]) -> "BodyContainer":
-        return BodyContainer([RigidBody.from_table(t) for t in body_tables])
+    def from_tables(body_tables: List[dict], dtype=None) -> "BodyContainer":
+        import jax.numpy as jnp
+
+        dtype = dtype if dtype is not None else jnp.float64
+        return BodyContainer([RigidBody.from_table(t, dtype=dtype)
+                              for t in body_tables])
 
     @property
     def n_bodies(self) -> int:

@@ -71,6 +71,7 @@ class Params:
     periphery_interaction_flag: bool = False
     adaptive_timestep_flag: bool = True
     pair_evaluator: str = "direct"   # "direct" (XLA), "pallas" (TPU tiled), "CPU" accepted as alias
+    precision: str = "double"        # "double" (tight tolerances) | "single" (TPU production)
     fiber_type: str = "FiniteDifference"
 
 

@@ -74,6 +74,7 @@ class Params:
         self.implicit_motor_activation_delay = g("implicit_motor_activation_delay", 0.0)
         self.periphery_interaction_flag = g("periphery_interaction_flag", False)
         self.pair_evaluator = g("pair_evaluator", "direct")
+        self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
         pb = table.get("periphery_binding", None)
@@ -97,15 +98,23 @@ class System:
         self.params = Params(config.get("params", {}))
         self.time = 0.0
         self.dt = self.params.dt_initial
+        # "single" runs the whole solve in f32 — the TPU production mode
+        # (no f64 vector hardware); "double" is the tight-tolerance default.
+        self.dtype = (jnp.float32 if self.params.precision in
+                      ("single", "float32", "f32") else jnp.float64)
 
-        self.fibers = fs.FiberEnsemble.from_tables(config.get("fibers", []))
-        self.point_sources = PointSources.from_tables(config.get("point_sources", []))
-        self.background = BackgroundFlow.from_table(config.get("background", {}))
+        self.fibers = fs.FiberEnsemble.from_tables(config.get("fibers", []),
+                                                   dtype=self.dtype)
+        self.point_sources = PointSources.from_tables(
+            config.get("point_sources", []), dtype=self.dtype)
+        self.background = BackgroundFlow.from_table(
+            config.get("background", {}), dtype=self.dtype)
 
         self.shell: Optional[Shell] = None
         if "periphery" in config:
-            self.shell = Shell.from_precompute(config["periphery"])
-        self.bodies = bcont.BodyContainer.from_tables(config.get("bodies", []))
+            self.shell = Shell.from_precompute(config["periphery"], dtype=self.dtype)
+        self.bodies = bcont.BodyContainer.from_tables(config.get("bodies", []),
+                                                      dtype=self.dtype)
 
         if self.shell is not None and self.background.is_active:
             raise ValueError("Background sources are incompatible with peripheries "
@@ -440,8 +449,9 @@ class System:
         u = self._velocity_fn(
             self.fibers.blocks, shell_state, self.bodies.states(),
             self.point_sources, self.background,
-            jnp.asarray(self.curr_solution), jnp.asarray(r_trg, jnp.float64),
-            jnp.asarray(self.time),
+            jnp.asarray(self.curr_solution, self.dtype),
+            jnp.asarray(r_trg, self.dtype),
+            jnp.asarray(self.time, self.dtype),
         )
         return np.asarray(u)
 
@@ -557,7 +567,7 @@ class System:
         (blocks, new_shell, new_bodies, sol, err, resid, iters, conv) = self._step_fn(
             self.fibers.blocks, shell_state, self.bodies.states(),
             self.point_sources, self.background,
-            jnp.asarray(self.dt), jnp.asarray(self.time),
+            jnp.asarray(self.dt, self.dtype), jnp.asarray(self.time, self.dtype),
         )
         err = float(err)
         self.fibers.blocks = blocks
