@@ -25,6 +25,8 @@ def main(argv=None) -> int:
                     help="serve analysis requests (streamlines/fields) over stdin/stdout")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (cpu/tpu); default uses the session default")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the run into this directory")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=os.environ.get("SKELLY_LOG", "INFO"),
@@ -53,6 +55,11 @@ def main(argv=None) -> int:
         from skellysim_tpu.analysis.listener import serve
 
         serve(system)
+    elif args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            system.run()
     else:
         system.run()
     return 0
