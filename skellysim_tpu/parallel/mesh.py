@@ -43,6 +43,27 @@ def shard_block_leaves(block, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), block)
 
 
+def shard_shell_state(shell_state, mesh: Mesh):
+    """Row-shard the periphery's dense operators over the mesh axis.
+
+    The TPU analogue of the reference's Scatterv row distribution
+    (periphery.cpp:408-442): M⁻¹ and the stresslet+complementary operator
+    shard on their row (output) axis; the solution vector and node data stay
+    replicated, so the per-device matvec is a local GEMV — XLA inserts the
+    all-gather of the result where consumers need it.
+    """
+    row_sh = NamedSharding(mesh, P(FIBER_AXIS, None))
+    rep = replicated(mesh)
+    return shell_state.replace(
+        M_inv=jax.device_put(shell_state.M_inv, row_sh),
+        A=jax.device_put(shell_state.A, row_sh),
+        nodes=jax.device_put(shell_state.nodes, rep),
+        normals=jax.device_put(shell_state.normals, rep),
+        weights=jax.device_put(shell_state.weights, rep),
+        solution=jax.device_put(shell_state.solution, rep),
+    )
+
+
 def pad_batch_to(block, multiple: int):
     """Pad a FiberBlock's batch dim to a multiple (inactive rows are benign:
     padded fibers are unit-length straight fibers with zero force)."""

@@ -68,3 +68,40 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_shell_step_matches_unsharded(tmp_path, monkeypatch):
+    # periphery operators row-sharded over the mesh: same physics as replicated
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+
+    from skellysim_tpu.config import Config, Fiber, Periphery
+    from skellysim_tpu.io import tomlio
+    from skellysim_tpu.precompute.main import precompute_periphery
+    from skellysim_tpu.system import System
+
+    config = Config()
+    config.params.dt_initial = 1e-4
+    config.params.dt_min = 1e-5
+    config.params.gmres_tol = 1e-10
+    config.params.pair_evaluator = "direct"
+    config.periphery = Periphery(n_nodes=400, shape="sphere", radius=4.0,
+                                 precompute_file="peri.npz")
+    fib = Fiber(force_scale=0.31, length=0.75, n_nodes=8, bending_rigidity=0.0025)
+    fib.fill_node_positions(np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]))
+    config.fibers = [fib]
+    config.save("skelly_config.toml")
+    cfg = tomlio.load("skelly_config.toml")
+    precompute_periphery(cfg)
+    system = System(cfg)
+
+    args_tail = (system.bodies.states(), system.point_sources, system.background,
+                 jnp.asarray(1e-4), jnp.asarray(0.0))
+    out_ref = system._step_fn(system.fibers.blocks, system.shell.state, *args_tail)
+    x_ref = np.asarray(out_ref[3])
+
+    mesh = pmesh.make_mesh(8)
+    shell_sharded = pmesh.shard_shell_state(system.shell.state, mesh)
+    out_sh = system._step_fn(system.fibers.blocks, shell_sharded, *args_tail)
+    x_sh = np.asarray(out_sh[3])
+    np.testing.assert_allclose(x_sh, x_ref, rtol=1e-9, atol=1e-11)
