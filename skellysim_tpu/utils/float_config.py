@@ -10,3 +10,9 @@ Pallas pairwise kernels provide the f32 speed-of-light path.
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# TPU MXU matmuls on f32 inputs default to bfloat16 passes, which destroys
+# the conditioning of the dense fiber/body operators (observed: garbage
+# solves with converged GMRES). Force true-f32 matmul accumulation; kernels
+# that can tolerate lower precision opt in locally.
+jax.config.update("jax_default_matmul_precision", "highest")
