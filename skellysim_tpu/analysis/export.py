@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import xml.sax.saxutils as sx
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -21,7 +21,7 @@ metadata; everything traced is shape-agnostic.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

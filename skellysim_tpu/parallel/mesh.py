@@ -13,7 +13,7 @@ The distribution model (SURVEY §2.3 mapping):
 
 from __future__ import annotations
 
-from typing import List
+
 
 import jax
 import numpy as np

@@ -25,7 +25,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from skellysim_tpu.kernels.reference import stokeslet_apply, stresslet_apply

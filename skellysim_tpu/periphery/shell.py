@@ -20,7 +20,7 @@ chip they stay resident in HBM (N ≤ 10⁴ → ≤ 7.2 GB f64 for both).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
