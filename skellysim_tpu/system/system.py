@@ -44,6 +44,13 @@ def select_evaluators(pair_evaluator: str):
     Returns (stokeslet_fn, stresslet_fn), None meaning library default.
     """
     if pair_evaluator in ("pallas", "GPU", "FMM"):
+        accel = any(d.platform != "cpu" for d in jax.devices())
+        if not accel:
+            # Pallas TPU kernels cannot compile on the CPU backend; fall back
+            # to the XLA evaluators (same physics, the reference's CPU slot)
+            logger.info("pair_evaluator %r requested without an accelerator; "
+                        "using the XLA direct evaluators", pair_evaluator)
+            return None, None
         from skellysim_tpu.kernels.pallas_tpu import (
             stokeslet_apply_pallas,
             stresslet_apply_pallas,
