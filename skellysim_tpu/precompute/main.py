@@ -30,39 +30,52 @@ BODY_QUAD_RADIUS_OFFSET_HIGH = 0.2
 BODY_QUAD_RADIUS_THRESHOLD = 2.0
 
 
-def _stresslet_times_normal_np(r: np.ndarray, normals: np.ndarray) -> np.ndarray:
-    """(3N, 3N) dense stresslet×normal operator, numpy f64 (host, offline)."""
+def _stresslet_times_normal_np(r: np.ndarray, normals: np.ndarray,
+                               chunk: int = 512) -> np.ndarray:
+    """(3N, 3N) dense stresslet×normal operator, numpy f64 (host, offline).
+
+    Assembled in target chunks to bound the (N, N, 3, 3) intermediates that
+    otherwise dominate the precompute wall time at N ≳ 4000.
+    """
     N = r.shape[0]
-    d = r[:, None, :] - r[None, :, :]                      # d_ij = r_i - r_j
-    r2 = np.einsum("ijk,ijk->ij", d, d)
-    np.fill_diagonal(r2, 1.0)
-    rinv5 = r2 ** -2.5
-    np.fill_diagonal(rinv5, 0.0)
-    dn = np.einsum("ijk,jk->ij", d, normals)
-    coeff = (-3.0 / (4.0 * np.pi)) * dn * rinv5
-    blocks = coeff[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :]
-    return blocks.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
+    out = np.empty((3 * N, 3 * N))
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        d = r[lo:hi, None, :] - r[None, :, :]              # d_ij = r_i - r_j
+        r2 = np.einsum("ijk,ijk->ij", d, d)
+        diag = np.arange(lo, hi)
+        r2[np.arange(hi - lo), diag] = 1.0
+        rinv5 = r2 ** -2.5
+        rinv5[np.arange(hi - lo), diag] = 0.0
+        dn = np.einsum("ijk,jk->ij", d, normals)
+        coeff = (-3.0 / (4.0 * np.pi)) * dn * rinv5
+        blocks = coeff[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :]
+        out[3 * lo:3 * hi] = blocks.transpose(0, 2, 1, 3).reshape(3 * (hi - lo), 3 * N)
+    return out
 
 
 def _singularity_vectors(r: np.ndarray, normals: np.ndarray,
-                         weights: np.ndarray) -> np.ndarray:
+                         weights: np.ndarray, chunk: int = 512) -> np.ndarray:
     """e_k-direction singularity-subtraction vectors, stacked (3, N, 3).
 
     ek[k, i, :] = Σ_{j≠i} −3/(4π) (d·(w_j e_k))(d·n_j) d / r⁵
     (reference: periphery.py get_singularity_subtraction_vectors).
     """
     N = r.shape[0]
-    d = r[:, None, :] - r[None, :, :]
-    r2 = np.einsum("ijk,ijk->ij", d, d)
-    np.fill_diagonal(r2, 1.0)
-    rinv5 = r2 ** -2.5
-    np.fill_diagonal(rinv5, 0.0)
-    dn = np.einsum("ijk,jk->ij", d, normals)
     out = np.zeros((3, N, 3))
-    for k in range(3):
-        dq = d[:, :, k] * weights[None, :]
-        coeff = (-3.0 / (4.0 * np.pi)) * dq * dn * rinv5
-        out[k] = np.einsum("ij,ijk->ik", coeff, d)
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        d = r[lo:hi, None, :] - r[None, :, :]
+        r2 = np.einsum("ijk,ijk->ij", d, d)
+        diag = np.arange(lo, hi)
+        r2[np.arange(hi - lo), diag] = 1.0
+        rinv5 = r2 ** -2.5
+        rinv5[np.arange(hi - lo), diag] = 0.0
+        dn = np.einsum("ijk,jk->ij", d, normals)
+        for k in range(3):
+            dq = d[:, :, k] * weights[None, :]
+            coeff = (-3.0 / (4.0 * np.pi)) * dq * dn * rinv5
+            out[k, lo:hi] = np.einsum("ij,ijk->ik", coeff, d)
     return out
 
 
