@@ -162,6 +162,19 @@ class TrajectoryReader:
     """
 
     def __init__(self, path: str = "skelly_sim.out"):
+        # reference-API convenience: a config TOML selects the trajectory
+        # next to it (reader.py constructs from the config file name)
+        if path.endswith(".toml"):
+            self.config_data = None
+            try:
+                from skellysim_tpu.io import tomlio
+
+                self.config_data = tomlio.load(path)
+            except OSError:
+                pass
+            path = os.path.join(os.path.dirname(path) or ".", "skelly_sim.out")
+        else:
+            self.config_data = None
         self.path = path
         self.header: Optional[dict] = None
         self.offsets: List[int] = []
