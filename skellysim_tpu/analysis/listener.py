@@ -64,6 +64,11 @@ def serve(system, stdin: Optional[BinaryIO] = None, stdout: Optional[BinaryIO] =
             continue
         frame = reader.load_frame(frame_no)
         system.load_frame_state(frame)
+        # evaluator hot-swap (listener.cpp:117 / System::set_evaluator)
+        requested = cmd.get("evaluator")
+        if requested and requested != system.params.pair_evaluator:
+            system.params.pair_evaluator = requested
+            system._velocity_fn = system._build_velocity_fn()
 
         stream_req = cmd.get("streamlines", {})
         vortex_req = cmd.get("vortexlines", {})

@@ -384,6 +384,7 @@ class System:
         has_bodies = self.bodies.n_bodies > 0
         max_sites = self.bodies.max_sites()
         FS = F + self.shell_solution_size()
+        ev_stk, ev_str = select_evaluators(p.pair_evaluator)
 
         @jax.jit
         def vel_fn(blocks, shell_state, body_states, point_sources, background,
@@ -412,9 +413,11 @@ class System:
                                 shell_abc, b.x, skip, fp_f0, fp_l0)
                     f_parts.append(f.reshape(-1, 3))
                 f_nodes = jnp.concatenate(f_parts, axis=0)
-                u = u + fs.flow(blocks, ops, r_trg, f_nodes, eta, subtract_self=False)
+                u = u + fs.flow(blocks, ops, r_trg, f_nodes, eta,
+                                subtract_self=False, evaluator=ev_stk)
             if has_shell:
-                u = u + shell_ops.flow(shell_state, r_trg, sol[F:FS], eta)
+                u = u + shell_ops.flow(shell_state, r_trg, sol[F:FS], eta,
+                                       evaluator=ev_str)
             if has_bodies:
                 body_caches = [rigid.geometry_cache(s) for s in body_states]
 
@@ -427,7 +430,8 @@ class System:
                     blocks, ops, [_XsCache(x) for x in fib_caches], x_fib_split,
                     sol[FS:], body_states, body_caches, max_sites)
                 u = u + bcont.flow(body_states, body_caches, r_trg, sol[FS:],
-                                   link_ft, eta)
+                                   link_ft, eta, evaluator_stresslet=ev_str,
+                                   evaluator_stokeslet=ev_stk)
                 # override points inside rigid bodies with rigid-body motion
                 # (system.cpp:362-381)
                 for s, body_shape_meta in zip(body_states, body_shapes):
