@@ -128,6 +128,7 @@ class System:
                              "(reference sanity_check, system.cpp:625-626)")
 
         self.rng = np.random.default_rng(self.params.seed)
+        self._log_params()
 
         self._writer: Optional[tio.TrajectoryWriter] = None
         self._output_file = output_file
@@ -139,6 +140,19 @@ class System:
         self._step_fn = self._build_step_fn()
         self._collision_fn = self._build_collision_fn()
         self._velocity_fn = self._build_velocity_fn()
+
+    def _log_params(self):
+        """Startup parameter dump (Params::print, src/core/params.cpp:82-106)."""
+        p = self.params
+        for name in ("eta", "dt_initial", "dt_min", "dt_max", "beta_up",
+                     "beta_down", "adaptive_timestep_flag", "dt_write",
+                     "t_final", "gmres_tol", "fiber_error_tol", "seed",
+                     "pair_evaluator", "precision"):
+            logger.info("%-34s = %s", name, getattr(p, name))
+        logger.info("%-34s = %d fibers / %d shell nodes / %d bodies",
+                    "system", self.fibers.n_fibers,
+                    self.shell.state.n_nodes if self.shell else 0,
+                    self.bodies.n_bodies)
 
     # ---- sizes ----
     def fiber_solution_size(self) -> int:
