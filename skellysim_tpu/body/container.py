@@ -38,6 +38,10 @@ class BodyContainer:
         import jax.numpy as jnp
 
         dtype = dtype if dtype is not None else jnp.float64
+        for t in body_tables:
+            if t.get("shape") == "deformable":
+                raise NotImplementedError(
+                    "deformable bodies are a stub in the reference and here")
         return BodyContainer([RigidBody.from_table(t, dtype=dtype)
                               for t in body_tables])
 

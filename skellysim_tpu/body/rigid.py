@@ -230,3 +230,18 @@ def external_force_torque(state: RigidBodyState, force_type: str, time) -> jax.A
     else:
         f = state.external_force
     return jnp.concatenate([f, state.external_torque])
+
+
+class DeformableBody:
+    """Placeholder matching the reference's DeformableBody stub
+    (include/body_deformable.hpp, src/core/body_deformable.cpp — all methods
+    are no-ops there and its flow path throws). Config tables with
+    shape="deformable" construct this and raise on use in a solve."""
+
+    def __init__(self, body_table: dict):
+        self.table = body_table
+
+    def __getattr__(self, name):
+        raise NotImplementedError(
+            "DeformableBody is a stub (as in the reference); no dynamics are "
+            "implemented")
