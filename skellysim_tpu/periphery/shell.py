@@ -85,6 +85,77 @@ class Shell:
         return Shell(state, shape=shape, radius=radius, abc=abc)
 
 
+def build_shell_operators(nodes: jax.Array, normals: jax.Array,
+                          weights: jax.Array):
+    """Assemble the second-kind operator A and its inverse ON DEVICE.
+
+    Same construction as the offline precompute (precompute/main.py
+    build_periphery_operator): A = T − E − diag(1/w) + nnᵀ with the unknown
+    being the weight-premultiplied density. Device-side assembly moves only
+    the O(N) geometry to the accelerator and builds the O(N²) operators with
+    MXU matmuls + one dense inverse there — essential when host↔device
+    bandwidth is scarce, and faster than the numpy path everywhere.
+    """
+    from skellysim_tpu.kernels.reference import (
+        stresslet_times_normal,
+        stresslet_times_normal_times_density,
+    )
+
+    N = nodes.shape[0]
+    A = stresslet_times_normal(nodes, normals)
+
+    def e_vec(k):
+        e = jnp.zeros((N, 3), nodes.dtype).at[:, k].set(weights)
+        return stresslet_times_normal_times_density(nodes, normals, e)
+
+    e_sub = jnp.stack([e_vec(0), e_vec(1), e_vec(2)])  # (3, N, 3)
+    rows = 3 * jnp.arange(N)[:, None] + jnp.arange(3)[None, :]  # (N, 3)
+    for k in range(3):
+        A = A.at[rows, (3 * jnp.arange(N) + k)[:, None]].add(
+            -(e_sub[k] / weights[:, None]))
+    A = A - jnp.diag(jnp.repeat(1.0 / weights, 3))
+    A = A + jnp.outer(normals.reshape(-1), normals.reshape(-1))
+    M_inv = jnp.linalg.inv(A)
+    return A, M_inv
+
+
+def shell_from_geometry(periphery_table: dict, dtype=jnp.float32) -> "Shell":
+    """Build a Shell entirely from the config geometry: surface + quadrature
+    host-side (O(N) data), dense operators assembled and inverted on device.
+    Used when periphery_table["build_on_device"] is set."""
+    from skellysim_tpu.precompute import quadrature, shapes
+    from skellysim_tpu.precompute.main import PERIPHERY_NODE_SCALE_FACTOR as SF
+
+    shape = periphery_table.get("shape", "sphere")
+    if shape == "sphere":
+        surf = shapes.sphere(periphery_table["n_nodes"],
+                             periphery_table["radius"] * SF)
+        weights = quadrature.sphere_weights(surf.nodes,
+                                            periphery_table["radius"] * SF)
+    elif shape == "ellipsoid":
+        a = periphery_table["a"] * SF
+        b = periphery_table["b"] * SF
+        c = periphery_table["c"] * SF
+        surf = shapes.ellipsoid(periphery_table["n_nodes"], a, b, c)
+        weights = quadrature.ellipsoid_weights(surf.nodes, a, b, c)
+    else:
+        raise ValueError(f"device-side build not supported for {shape!r}")
+    normals = -surf.normals  # shell normals point into the domain
+
+    nodes_d = jnp.asarray(surf.nodes, dtype)
+    normals_d = jnp.asarray(normals, dtype)
+    weights_d = jnp.asarray(weights, dtype)
+    A, M_inv = jax.jit(build_shell_operators)(nodes_d, normals_d, weights_d)
+    state = ShellState(nodes=nodes_d, normals=normals_d, weights=weights_d,
+                       M_inv=M_inv, A=A,
+                       solution=jnp.zeros(3 * surf.nodes.shape[0], dtype))
+    return Shell(state, shape=shape,
+                 radius=float(periphery_table.get("radius", 0.0)),
+                 abc=(float(periphery_table.get("a", 0.0)),
+                      float(periphery_table.get("b", 0.0)),
+                      float(periphery_table.get("c", 0.0))))
+
+
 # ---- pure jit-safe operations ----
 
 def matvec(state: ShellState, x: jax.Array, v_on_shell: jax.Array) -> jax.Array:

@@ -119,7 +119,12 @@ class System:
 
         self.shell: Optional[Shell] = None
         if "periphery" in config:
-            self.shell = Shell.from_precompute(config["periphery"], dtype=self.dtype)
+            if config["periphery"].get("build_on_device"):
+                self.shell = shell_ops.shell_from_geometry(config["periphery"],
+                                                           dtype=self.dtype)
+            else:
+                self.shell = Shell.from_precompute(config["periphery"],
+                                                   dtype=self.dtype)
         self.bodies = bcont.BodyContainer.from_tables(config.get("bodies", []),
                                                       dtype=self.dtype)
 

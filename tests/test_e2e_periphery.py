@@ -111,3 +111,27 @@ def test_confinement_increases_drag(sim_dir):
         os.remove("skelly_sim.out")
         os.remove("skelly_sim.out.cindex")
     assert vels[2.0] < vels[4.0]
+
+
+def test_device_built_shell_matches_precompute(sim_dir):
+    """Device-side operator assembly (shell_from_geometry) must reproduce the
+    offline precompute exactly and run the coupled solve."""
+    import jax.numpy as jnp
+
+    from skellysim_tpu.periphery import shell as shell_ops
+
+    config = _config()
+    config.params.t_final = 2e-4
+    config.params.dt_write = 1e-4
+    config.save("skelly_config.toml")
+    cfg = tomlio.load("skelly_config.toml")
+    out = precompute_periphery(cfg)
+    sh = shell_ops.shell_from_geometry(cfg["periphery"], dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(sh.state.A),
+                               out["stresslet_plus_complementary"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sh.state.M_inv), out["M_inv"], atol=1e-10)
+
+    cfg["periphery"]["build_on_device"] = True
+    system = System(cfg)
+    system.run()
+    assert np.isfinite(system.curr_solution).all()
