@@ -73,6 +73,45 @@ def pad_sources(r_src: jax.Array, strengths: jax.Array, n_devices: int):
     return r_src, strengths
 
 
+def ring_pairwise(mesh: Mesh, axis: str, kernel: Optional[Callable] = None):
+    """Ring schedule: BOTH sources and targets shard on ``axis``.
+
+    Each device owns a source block and a target block; source blocks rotate
+    around the ring with ppermute while every device accumulates its targets'
+    velocities — structurally ring attention for N-body sums (SURVEY §5
+    long-context analog). Communication per evaluation is the source shard
+    (vs 3·T for the partial-sum schedule): preferable when targets are many
+    and sources are few per device, or when no device can hold all targets.
+    """
+    kern = kernel if kernel is not None else stokeslet_apply
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+    )
+    def _apply(r_src_local, f_local, r_trg_local, eta):
+        n_dev = jax.lax.axis_size(axis)
+
+        def body(i, carry):
+            u, r_blk, f_blk = carry
+            u = u + kern(r_blk, f_blk, r_trg_local, eta)
+            perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+            r_blk = jax.lax.ppermute(r_blk, axis, perm)
+            f_blk = jax.lax.ppermute(f_blk, axis, perm)
+            return u, r_blk, f_blk
+
+        u0 = jnp.zeros_like(r_trg_local)
+        u, _, _ = jax.lax.fori_loop(0, n_dev, body, (u0, r_src_local, f_local))
+        return u
+
+    def apply(r_src, strengths, r_trg, eta=1.0):
+        return _apply(r_src, strengths, r_trg, jnp.asarray(eta, r_trg.dtype))
+
+    return apply
+
+
 def sharded_stokeslet(mesh: Mesh, axis: str = "fib", kernel=None):
     base = sharded_pairwise(mesh, axis, kernel or stokeslet_apply)
     n = mesh.shape[axis]

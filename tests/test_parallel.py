@@ -105,3 +105,19 @@ def test_sharded_shell_step_matches_unsharded(tmp_path, monkeypatch):
     out_sh = system._step_fn(system.fibers.blocks, shell_sharded, *args_tail)
     x_sh = np.asarray(out_sh[3])
     np.testing.assert_allclose(x_sh, x_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_ring_schedule_matches_single_device():
+    from skellysim_tpu.parallel.pairwise import ring_pairwise
+
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(5)
+    n = 96  # divisible by 8 for both shards
+    r_src = jnp.asarray(rng.uniform(-1, 1, (n, 3)))
+    f = jnp.asarray(rng.normal(size=(n, 3)))
+    r_trg = jnp.asarray(rng.uniform(-1, 1, (n, 3)))
+    fn = ring_pairwise(mesh, "fib")
+    want = stokeslet_apply(r_src, f, r_trg, 0.8)
+    got = fn(r_src, f, r_trg, 0.8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12,
+                               atol=1e-14)
