@@ -317,3 +317,43 @@ class Config:
     def load(path) -> dict:
         """Load a config TOML into the raw dict the System consumes."""
         return tomlio.load(path)
+
+
+# ---- reference-named aliases (skelly_config.py Config{Spherical,Ellipsoidal,
+# Revolution} and the periphery subclasses) so existing scripts translate
+# almost verbatim ----
+
+def SphericalPeriphery(**kw) -> Periphery:
+    kw.setdefault("shape", "sphere")
+    return Periphery(**kw)
+
+
+def EllipsoidalPeriphery(**kw) -> Periphery:
+    kw.setdefault("shape", "ellipsoid")
+    return Periphery(**kw)
+
+
+def PeripheryRevolution(**kw) -> Periphery:
+    kw.setdefault("shape", "surface_of_revolution")
+    return Periphery(**kw)
+
+
+def ConfigSpherical(**kw) -> Config:
+    c = Config(**kw)
+    if c.periphery is None:
+        c.periphery = SphericalPeriphery()
+    return c
+
+
+def ConfigEllipsoidal(**kw) -> Config:
+    c = Config(**kw)
+    if c.periphery is None:
+        c.periphery = EllipsoidalPeriphery()
+    return c
+
+
+def ConfigRevolution(**kw) -> Config:
+    c = Config(**kw)
+    if c.periphery is None:
+        c.periphery = PeripheryRevolution(envelope={})
+    return c

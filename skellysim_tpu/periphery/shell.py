@@ -85,6 +85,31 @@ class Shell:
         return Shell(state, shape=shape, radius=radius, abc=abc)
 
 
+def newton_schulz_inverse(A: jax.Array, iters: int = 60) -> jax.Array:
+    """Matmul-only dense inverse: X_{k+1} = X_k (2I − A X_k).
+
+    Globally convergent from X₀ = Aᵀ/(‖A‖₁‖A‖∞) (Pan–Schreiber); column
+    pre-scaling by the diagonal keeps the iteration count modest for the
+    diagonal-dominated second-kind shell operator. Pure matmuls — MXU work —
+    which sidesteps XLA's TPU LU panel-size limits at large N and is how the
+    device-side precompute inverts the periphery operator.
+    """
+    n = A.shape[0]
+    d = jnp.diagonal(A)
+    d = jnp.where(jnp.abs(d) > 0, d, 1.0)
+    B = A / d[None, :]          # A D⁻¹: near-identity for this operator class
+    norm1 = jnp.max(jnp.sum(jnp.abs(B), axis=0))
+    norminf = jnp.max(jnp.sum(jnp.abs(B), axis=1))
+    X = B.T / (norm1 * norminf)
+    eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
+
+    def body(_, X):
+        return X @ (eye2 - B @ X)
+
+    X = jax.lax.fori_loop(0, iters, body, X)
+    return (X / d[:, None])     # D⁻¹ (A D⁻¹)⁻¹ = A⁻¹
+
+
 def build_shell_operators(nodes: jax.Array, normals: jax.Array,
                           weights: jax.Array):
     """Assemble the second-kind operator A and its inverse ON DEVICE.
@@ -115,7 +140,9 @@ def build_shell_operators(nodes: jax.Array, normals: jax.Array,
             -(e_sub[k] / weights[:, None]))
     A = A - jnp.diag(jnp.repeat(1.0 / weights, 3))
     A = A + jnp.outer(normals.reshape(-1), normals.reshape(-1))
-    M_inv = jnp.linalg.inv(A)
+    # XLA's TPU LU hits scoped-VMEM limits at 3N ≳ 10⁴; the matmul-only
+    # Newton–Schulz inverse stays on the MXU at any size
+    M_inv = newton_schulz_inverse(A)
     return A, M_inv
 
 
@@ -138,6 +165,16 @@ def shell_from_geometry(periphery_table: dict, dtype=jnp.float32) -> "Shell":
         c = periphery_table["c"] * SF
         surf = shapes.ellipsoid(periphery_table["n_nodes"], a, b, c)
         weights = quadrature.ellipsoid_weights(surf.nodes, a, b, c)
+    elif shape == "surface_of_revolution":
+        from skellysim_tpu.precompute.main import _envelope_height_fn
+
+        env = periphery_table["envelope"]
+        surf = shapes.surface_of_revolution(
+            _envelope_height_fn(env), env["lower_bound"], env["upper_bound"],
+            target_nodes=periphery_table.get("n_nodes",
+                                             env.get("n_nodes_target", 6000)),
+            scale_factor=SF)
+        weights = surf.weights
     else:
         raise ValueError(f"device-side build not supported for {shape!r}")
     normals = -surf.normals  # shell normals point into the domain

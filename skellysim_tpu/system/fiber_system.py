@@ -93,11 +93,6 @@ class FiberEnsemble:
     def free_slot(self, n_nodes: int, grow_chunk: int = 8):
         """(block_idx, row, grew) of a free slot for an n_nodes fiber,
         growing block capacity (and forcing recompilation) when full."""
-        import jax.numpy as jnp
-
-        from skellysim_tpu.fibers import fd_fiber as ff
-        from skellysim_tpu.fibers.fd_fiber import FiberOperators
-
         for bi, b in enumerate(self.blocks):
             if b.n_nodes != n_nodes:
                 continue
@@ -131,17 +126,13 @@ class FiberEnsemble:
             self.blocks[bi] = grown
             return bi, B, True
         # no block with this node count yet: create one
-        from skellysim_tpu.fibers import fd_fiber as ff2
-
         t = np.linspace(0.0, 1.0, n_nodes)
         straight = np.stack([0 * t, 0 * t, t], axis=-1)
-        block = ff2.make_fiber_block(
+        block = ff.make_fiber_block(
             np.broadcast_to(straight, (grow_chunk, n_nodes, 3)).copy(),
             lengths=1.0, bending_rigidity=1e-3, active=False)
-        from skellysim_tpu.fibers.fd_fiber import FiberOperators as FO
-
         self.blocks.append(block)
-        self.ops.append(FO.for_node_count(n_nodes))
+        self.ops.append(FiberOperators.for_node_count(n_nodes))
         return len(self.blocks) - 1, 0, True
 
     @property
