@@ -37,14 +37,24 @@ SHAPE_GENERIC = "generic"
 
 @struct.dataclass
 class ShellState:
-    """Device-resident periphery data (pytree)."""
+    """Device-resident periphery data (pytree).
+
+    The dense operators may be stored in either index convention:
+      * node-major (interleaved [x0 y0 z0 x1 …]) — the reference layout,
+        what the offline precompute npz carries
+      * component-major ("blocked": [all-x | all-y | all-z]) — TPU-friendly:
+        every assembly intermediate is (N, N), avoiding Mosaic's catastrophic
+        lane padding of trailing length-3 axes. Applies permute in/out with
+        O(N) reshapes.
+    """
 
     nodes: jax.Array        # (N, 3)
     normals: jax.Array      # (N, 3) inward-pointing (into the domain)
     weights: jax.Array      # (N,)
     M_inv: jax.Array        # (3N, 3N)
     A: jax.Array            # (3N, 3N) stresslet + complementary operator
-    solution: jax.Array     # (3N,) current density solution
+    solution: jax.Array     # (3N,) current density solution (node-major)
+    blocked: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_nodes(self) -> int:
@@ -118,28 +128,49 @@ def build_shell_operators(nodes: jax.Array, normals: jax.Array,
     build_periphery_operator): A = T − E − diag(1/w) + nnᵀ with the unknown
     being the weight-premultiplied density. Device-side assembly moves only
     the O(N) geometry to the accelerator and builds the O(N²) operators with
-    MXU matmuls + one dense inverse there — essential when host↔device
-    bandwidth is scarce, and faster than the numpy path everywhere.
+    MXU matmuls + a matmul-only dense inverse there — essential when
+    host↔device bandwidth is scarce.
+
+    The operator is assembled and returned in COMPONENT-MAJOR block layout
+    (3×3 grid of (N, N) blocks): every intermediate is a clean (N, N) array,
+    which is what TPU memory tiling wants — the node-major interleave would
+    drag (…, 3)-trailing intermediates that Mosaic pads 3 → 128.
     """
-    from skellysim_tpu.kernels.reference import (
-        stresslet_times_normal,
-        stresslet_times_normal_times_density,
-    )
-
     N = nodes.shape[0]
-    A = stresslet_times_normal(nodes, normals)
+    d = nodes[:, None, :] - nodes[None, :, :]
+    r2 = jnp.sum(d * d, axis=-1)
+    nonzero = r2 > 0.0
+    rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
+    dn = jnp.einsum("ijk,jk->ij", d, normals)
+    coeff = (-3.0 / (4.0 * jnp.pi)) * dn * rinv**5   # (N, N)
+    da = [d[:, :, a] for a in range(3)]
 
-    def e_vec(k):
-        e = jnp.zeros((N, 3), nodes.dtype).at[:, k].set(weights)
-        return stresslet_times_normal_times_density(nodes, normals, e)
+    inv_w = 1.0 / weights
+    blocks = []
+    for a in range(3):
+        row = []
+        for b in range(3):
+            Cab = coeff * da[a] * da[b]              # (N, N)
+            # singularity subtraction: column (b, j) gets −e_b(j)[a]/w_j with
+            # e_b(j)[a] = Σ_i C_ab'(i,j)… assembled below from the same C
+            row.append(Cab)
+            del Cab
+        blocks.append(row)
 
-    e_sub = jnp.stack([e_vec(0), e_vec(1), e_vec(2)])  # (3, N, 3)
-    rows = 3 * jnp.arange(N)[:, None] + jnp.arange(3)[None, :]  # (N, 3)
+    # e_sub[k][i][a] = Σ_j (coeff d_a d_k w)_ij  (the w-scaled column sums of
+    # the same component blocks) — reference periphery.py singularity vectors
     for k in range(3):
-        A = A.at[rows, (3 * jnp.arange(N) + k)[:, None]].add(
-            -(e_sub[k] / weights[:, None]))
-    A = A - jnp.diag(jnp.repeat(1.0 / weights, 3))
-    A = A + jnp.outer(normals.reshape(-1), normals.reshape(-1))
+        for a in range(3):
+            e_ka = jnp.sum(blocks[a][k] * weights[None, :], axis=1)  # (N,)
+            blocks[a][k] = blocks[a][k] - jnp.diag(e_ka * inv_w)
+    for a in range(3):
+        blocks[a][a] = blocks[a][a] - jnp.diag(inv_w)
+    # complementary nnᵀ completion, componentwise outer products
+    for a in range(3):
+        for b in range(3):
+            blocks[a][b] = blocks[a][b] + jnp.outer(normals[:, a], normals[:, b])
+
+    A = jnp.block(blocks)
     # XLA's TPU LU hits scoped-VMEM limits at 3N ≳ 10⁴; the matmul-only
     # Newton–Schulz inverse stays on the MXU at any size
     M_inv = newton_schulz_inverse(A)
@@ -185,7 +216,8 @@ def shell_from_geometry(periphery_table: dict, dtype=jnp.float32) -> "Shell":
     A, M_inv = jax.jit(build_shell_operators)(nodes_d, normals_d, weights_d)
     state = ShellState(nodes=nodes_d, normals=normals_d, weights=weights_d,
                        M_inv=M_inv, A=A,
-                       solution=jnp.zeros(3 * surf.nodes.shape[0], dtype))
+                       solution=jnp.zeros(3 * surf.nodes.shape[0], dtype),
+                       blocked=True)
     return Shell(state, shape=shape,
                  radius=float(periphery_table.get("radius", 0.0)),
                  abc=(float(periphery_table.get("a", 0.0)),
@@ -195,13 +227,29 @@ def shell_from_geometry(periphery_table: dict, dtype=jnp.float32) -> "Shell":
 
 # ---- pure jit-safe operations ----
 
+def _cm(x: jax.Array) -> jax.Array:
+    """node-major (3N,) → component-major."""
+    return x.reshape(-1, 3).T.reshape(-1)
+
+
+def _nm(x: jax.Array) -> jax.Array:
+    """component-major (3N,) → node-major."""
+    return x.reshape(3, -1).T.reshape(-1)
+
+
+def _apply(state: ShellState, M: jax.Array, x: jax.Array) -> jax.Array:
+    if state.blocked:
+        return _nm(M @ _cm(x))
+    return M @ x
+
+
 def matvec(state: ShellState, x: jax.Array, v_on_shell: jax.Array) -> jax.Array:
     """A x + v (the shell block-row of the global operator)."""
-    return state.A @ x + v_on_shell.reshape(-1)
+    return _apply(state, state.A, x) + v_on_shell.reshape(-1)
 
 
 def precondition(state: ShellState, x: jax.Array) -> jax.Array:
-    return state.M_inv @ x
+    return _apply(state, state.M_inv, x)
 
 
 def update_rhs(v_on_shell: jax.Array) -> jax.Array:

@@ -127,9 +127,14 @@ def test_device_built_shell_matches_precompute(sim_dir):
     cfg = tomlio.load("skelly_config.toml")
     out = precompute_periphery(cfg)
     sh = shell_ops.shell_from_geometry(cfg["periphery"], dtype=jnp.float64)
-    np.testing.assert_allclose(np.asarray(sh.state.A),
-                               out["stresslet_plus_complementary"], atol=1e-12)
-    np.testing.assert_allclose(np.asarray(sh.state.M_inv), out["M_inv"], atol=1e-10)
+    # device build stores the operators component-major; permute to node-major
+    N = sh.state.n_nodes
+    t = np.arange(3 * N)
+    q = (t % 3) * N + t // 3     # node-major index -> component-major index
+    A_nm = np.asarray(sh.state.A)[np.ix_(q, q)]
+    np.testing.assert_allclose(A_nm, out["stresslet_plus_complementary"], atol=1e-12)
+    M_nm = np.asarray(sh.state.M_inv)[np.ix_(q, q)]
+    np.testing.assert_allclose(M_nm, out["M_inv"], atol=1e-8)
 
     cfg["periphery"]["build_on_device"] = True
     system = System(cfg)
