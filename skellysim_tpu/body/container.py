@@ -104,19 +104,19 @@ def matvec(states, caches, v_nodes: jax.Array, x_bodies: jax.Array) -> jax.Array
     for s, c, v, xb in zip(states, caches, split_nodes(states, v_nodes),
                            split_solution(states, x_bodies)):
         parts.append(rigid.matvec(s, c, v, xb))
-    return jnp.concatenate(parts) if parts else jnp.zeros(0)
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, x_bodies.dtype)
 
 
 def precondition(states, caches, x_bodies: jax.Array) -> jax.Array:
     parts = [rigid.precondition(c, xb)
              for c, xb in zip(caches, split_solution(states, x_bodies))]
-    return jnp.concatenate(parts) if parts else jnp.zeros(0)
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, x_bodies.dtype)
 
 
 def rhs(states, v_nodes: jax.Array) -> jax.Array:
     parts = [rigid.update_rhs(v)
              for s, v in zip(states, split_nodes(states, v_nodes))]
-    return jnp.concatenate(parts) if parts else jnp.zeros(0)
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, v_nodes.dtype)
 
 
 def step(states, x_bodies: jax.Array, dt) -> List[RigidBodyState]:

@@ -280,7 +280,7 @@ def sphere_collision(radius: float, points: jax.Array, threshold) -> jax.Array:
 def ellipsoid_collision(abc, points: jax.Array, threshold) -> jax.Array:
     """Reference's scaled-angle heuristic (periphery.cpp:204-224)."""
     a, b, c = abc
-    scaled = points / jnp.asarray([a, b, c])
+    scaled = points / jnp.asarray([a, b, c], points.dtype)
     smag = jnp.linalg.norm(scaled, axis=-1)
     phi = jnp.arctan2(scaled[:, 1], scaled[:, 0] + 1e-12)
     theta = jnp.arccos(jnp.clip(scaled[:, 2] / (1e-12 + smag), -1.0, 1.0))
@@ -316,7 +316,7 @@ def ellipsoid_fiber_repulsion(abc, x: jax.Array, skip_first: jax.Array,
                               f0, l0) -> jax.Array:
     """Ellipsoidal version (periphery.cpp:232-263)."""
     a, b, c = abc
-    scaled = x / jnp.asarray([a, b, c])
+    scaled = x / jnp.asarray([a, b, c], x.dtype)
     smag = jnp.linalg.norm(scaled, axis=-1)
     r = jnp.linalg.norm(x, axis=-1)
     phi = jnp.arctan2(scaled[..., 1], scaled[..., 0] + 1e-12)

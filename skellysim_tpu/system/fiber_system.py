@@ -255,7 +255,7 @@ def precondition(blocks, caches, x_fib: jax.Array) -> jax.Array:
 
 def rhs(caches) -> jax.Array:
     parts = [c.RHS.reshape(-1) for c in caches]
-    return jnp.concatenate(parts) if parts else jnp.zeros(0)
+    return jnp.concatenate(parts) if parts else jnp.zeros(0)  # empty sims only
 
 
 def step(blocks, x_fib: jax.Array) -> List[FiberBlock]:

@@ -761,7 +761,7 @@ class System:
                 "parent_site": f["binding_site_"][1],
                 "minus_clamped": f["minus_clamped_"],
             } for f in fibers]
-            self.fibers = fs.FiberEnsemble.from_tables(tables)
+            self.fibers = fs.FiberEnsemble.from_tables(tables, dtype=self.dtype)
             rebuilt = True
         else:
             rebuilt = False
