@@ -99,14 +99,41 @@ def _sample_sphere_directions(rng, n):
 
 
 def _reject_min_separation(points_iter, n_wanted, ds_min, existing=()):
-    """Greedy rejection sampling for a minimum pairwise separation."""
-    accepted = list(existing)
+    """Greedy rejection sampling for a minimum pairwise separation.
+
+    Uses a uniform-grid hash so each candidate only checks its 27 neighboring
+    cells — O(1) per candidate, which matters at thousands of fibers.
+    """
+    cell = max(ds_min, 1e-12)
+    grid: dict = {}
+    ds2 = ds_min * ds_min
+
+    def key(p):
+        return tuple((p // cell).astype(np.int64))
+
+    def ok(p):
+        kx, ky, kz = key(p)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for q in grid.get((kx + dx, ky + dy, kz + dz), ()):
+                        d = p - q
+                        if d @ d < ds2:
+                            return False
+        return True
+
+    def insert(p):
+        grid.setdefault(key(p), []).append(p)
+
+    for q in existing:
+        insert(np.asarray(q, float))
     out = []
     for p in points_iter:
         if len(out) >= n_wanted:
             break
-        if all(np.dot(p - q, p - q) >= ds_min * ds_min for q in accepted):
-            accepted.append(p)
+        p = np.asarray(p, float)
+        if ok(p):
+            insert(p)
             out.append(p)
     if len(out) < n_wanted:
         raise RuntimeError(
