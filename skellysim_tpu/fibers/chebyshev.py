@@ -130,9 +130,7 @@ def resize_coeffs(a, n_out: int):
         return a
     if n > n_out:
         return a[:n_out]
-    return jnp.concatenate([a, jnp.zeros(n_out - n, a.dtype)]) \
-        if hasattr(a, "aval") or "jax" in type(a).__module__ else \
-        np.concatenate([a, np.zeros(n_out - n)])
+    return jnp.concatenate([jnp.asarray(a), jnp.zeros(n_out - n)])
 
 
 def multiply(a, b, n_out: int):
