@@ -1,0 +1,361 @@
+"""Free-space spectral (Ewald-type) stokeslet evaluation — the O(N) far field.
+
+The TPU-native replacement for the reference's PVFMM/STKFMM far-field tier
+(docs/farfield_plan.md). The stokeslet splits exactly via the Hasimoto
+screen (a Gaussian-derived blob with vanishing second moment):
+
+    S(r) = S_near(r; a) + S_far(r; a),    S = f(r) δ + g(r) r̂ r̂ᵀ, and
+
+    f_far  = erf(ρ)/(8πr) + e^{−ρ²}/(4π^{3/2}a)
+    g_far  = erf(ρ)/(8πr) − e^{−ρ²}/(4π^{3/2}a)
+    f_near = erfc(ρ)/(8πr) − e^{−ρ²}/(4π^{3/2}a)
+    g_near = erfc(ρ)/(8πr) + e^{−ρ²}/(4π^{3/2}a),      ρ = r/a
+
+(derived symbolically from ∇⁴B = −γ_screen; the near field decays like
+e^{−ρ²}, ~1e−16 by r = 6a). Evaluation:
+
+  * far field: Gaussian-window spreading of forces onto a regular grid,
+    aperiodic convolution with the *numerically tabulated* S_far on a
+    2×-padded grid (free space — no images, no analytic Fourier symbol
+    needed), Fourier-side division by the spreading window squared
+    (NUFFT-style deconvolution), interpolation back at targets. FFTs,
+    elementwise multiplies, and windowed gathers — all dense regular work.
+  * near field: cell-list pairwise evaluation of the screened kernel over
+    27-cell neighborhoods, each a small dense block.
+
+Cost: O(N·W³) spreading + O(M log M) FFT + O(N·ρ̄) near field — linear in N
+at fixed density, vs O(N²) for the dense evaluators.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INV_8PI = 1.0 / (8.0 * math.pi)
+_INV_4PI32 = 1.0 / (4.0 * math.pi**1.5)
+
+
+# ---- kernel splitting ----
+
+def near_coeffs(r2: jax.Array, a: float):
+    """(f_near, g_near) with the self-pair (r = 0) excluded."""
+    nonzero = r2 > 0.0
+    r = jnp.sqrt(jnp.where(nonzero, r2, 1.0))
+    rho = r / a
+    erfc = jax.lax.erfc(rho)
+    gauss = jnp.exp(-rho * rho) * (_INV_4PI32 / a)
+    f = _INV_8PI * erfc / r - gauss
+    g = _INV_8PI * erfc / r + gauss
+    f = jnp.where(nonzero, f, 0.0)
+    g = jnp.where(nonzero, g, 0.0)
+    return f, g
+
+
+def far_coeffs(r2: jax.Array, a: float):
+    """(f_far, g_far); smooth everywhere, f_far(0) = 1/(2π^{3/2}a)."""
+    r = jnp.sqrt(r2)
+    rho = r / a
+    small = rho < 1e-6
+    # erf(ρ)/(8πr) → 1/(4π^{3/2} a) as r→0
+    erf_term = jnp.where(small, 1.0 / (4.0 * math.pi**1.5 * a),
+                         _INV_8PI * jax.lax.erf(rho) / jnp.where(small, 1.0, r))
+    gauss = jnp.exp(-rho * rho) * (_INV_4PI32 / a)
+    return erf_term + gauss, erf_term - gauss
+
+
+# ---- grid machinery ----
+
+class EwaldGrid(NamedTuple):
+    lo: jax.Array          # (3,) grid origin
+    h: float               # grid spacing
+    shape: tuple           # (3,) logical grid points
+    sigma: float           # spreading-window std dev
+    support: int           # window width in cells (odd)
+    khat: jax.Array        # (6, *fft_shape) deconvolved far-kernel spectrum
+    a: float
+
+
+def _round_up_fft(n: int) -> int:
+    """Next 2^a·3^b·5^c ≥ n (FFT-friendly sizes)."""
+    best = 1 << (n - 1).bit_length()
+    p3 = 1
+    while p3 <= best:
+        p5 = 1
+        while p3 * p5 <= best:
+            v = p3 * p5
+            while v < n:
+                v *= 2
+            best = min(best, v)
+            p5 *= 5
+        p3 *= 3
+    return best
+
+
+def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
+               points_per_a: float = 4.0, support: int = None,
+               dtype=jnp.float32) -> EwaldGrid:
+    """Precompute the spectral far-field operator for a fixed box.
+
+    The box [lo, hi] must contain all sources and targets (with the window
+    half-width margin added here). One-time cost: tabulating S_far on the
+    2×-padded grid and six rFFTs.
+    """
+    h = a / points_per_a
+    sigma = a / 4.0
+    if support is None:
+        # window truncated at ±6σ: the tail (≈e^{−18}) stays below the
+        # deconvolution amplification at the grid Nyquist
+        support = 2 * int(np.ceil(6.0 * sigma / h)) + 1
+    margin = (support // 2 + 1) * h
+    lo = np.asarray(lo, np.float64) - margin
+    hi = np.asarray(hi, np.float64) + margin
+    shape = tuple(int(np.ceil((hi[i] - lo[i]) / h)) + 1 for i in range(3))
+    padded = tuple(_round_up_fft(2 * s) for s in shape)
+
+    # tabulate S_far components on the padded (aperiodic, wrapped) grid
+    from scipy.special import erf as _erf
+
+    axes = [np.fft.fftfreq(p, d=1.0 / p) * h for p in padded]  # signed offsets
+    X, Y, Z = np.meshgrid(*axes, indexing="ij")
+    r2 = X * X + Y * Y + Z * Z
+    r = np.sqrt(r2)
+    rho = r / a
+    with np.errstate(invalid="ignore", divide="ignore"):
+        erf_term = np.where(rho < 1e-12, 1.0 / (4.0 * math.pi**1.5 * a),
+                            _INV_8PI * _erf(rho) / np.where(r > 0, r, 1.0))
+    gauss = np.exp(-rho * rho) * (_INV_4PI32 / a)
+    f = erf_term + gauss
+    g = erf_term - gauss
+    with np.errstate(invalid="ignore", divide="ignore"):
+        inv_r2 = np.where(r2 > 0, 1.0 / np.where(r2 > 0, r2, 1.0), 0.0)
+    Kxx = f + g * X * X * inv_r2
+    Kxy = g * X * Y * inv_r2
+    Kxz = g * X * Z * inv_r2
+    Kyy = f + g * Y * Y * inv_r2
+    Kyz = g * Y * Z * inv_r2
+    Kzz = f + g * Z * Z * inv_r2
+    # at r = 0: g → 0 smoothly, diagonal → f_far(0)
+    K = np.stack([Kxx, Kxy, Kxz, Kyy, Kyz, Kzz])
+
+    khat = np.fft.rfftn(K, axes=(1, 2, 3))
+    # deconvolve the two Gaussian windows: w(r) ∝ e^{−r²/(2σ²)}, normalized;
+    # its continuous transform is e^{−σ²k²/2}; gridded windows approximate it
+    kx = 2 * np.pi * np.fft.fftfreq(padded[0], d=h)
+    ky = 2 * np.pi * np.fft.fftfreq(padded[1], d=h)
+    kz = 2 * np.pi * np.fft.rfftfreq(padded[2], d=h)
+    K2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2)
+    wk = np.exp(-sigma * sigma * K2 / 2.0)
+    khat = khat / np.maximum(wk * wk, 1e-30)[None]
+
+    return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
+                     sigma=float(sigma), support=int(support),
+                     khat=jnp.asarray(khat, jnp.complex64 if dtype == jnp.float32
+                                      else jnp.complex128), a=float(a))
+
+
+def _window_1d(frac: jax.Array, support: int, sigma_h: float, dtype):
+    """Normalized Gaussian weights at integer offsets −W/2..W/2 − frac."""
+    offs = jnp.arange(support, dtype=dtype) - (support // 2)
+    d = offs[None, :] - frac[:, None]          # (N, W) in cell units
+    w = jnp.exp(-(d * d) / (2.0 * sigma_h * sigma_h))
+    return w / jnp.sum(w, axis=1, keepdims=True)
+
+
+def _point_cells(points, grid: EwaldGrid):
+    rel = (points - grid.lo[None, :]) / grid.h
+    base = jnp.floor(rel).astype(jnp.int32)
+    frac = rel - base
+    return base, frac
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "support"))
+def _spread(points, values, lo, h, sigma, grid_shape, support):
+    dtype = values.dtype
+    N = points.shape[0]
+    rel = (points - lo[None, :]) / h
+    base = jnp.floor(rel).astype(jnp.int32)
+    frac = rel - base.astype(dtype)
+    sigma_h = sigma / h
+    wx = _window_1d(frac[:, 0], support, sigma_h, dtype)
+    wy = _window_1d(frac[:, 1], support, sigma_h, dtype)
+    wz = _window_1d(frac[:, 2], support, sigma_h, dtype)
+    offs = jnp.arange(support) - (support // 2)
+    ix = (base[:, 0:1] + offs[None, :]) % grid_shape[0]
+    iy = (base[:, 1:2] + offs[None, :]) % grid_shape[1]
+    iz = (base[:, 2:3] + offs[None, :]) % grid_shape[2]
+    # combined weights (N, W, W, W) and scatter-add into the 3 grids
+    w3 = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    gx = jnp.zeros(grid_shape, dtype)
+    I = ix[:, :, None, None]
+    J = iy[:, None, :, None]
+    Kk = iz[:, None, None, :]
+    grids = []
+    for c in range(3):
+        gc = jnp.zeros(grid_shape, dtype).at[I, J, Kk].add(
+            w3 * values[:, c, None, None, None])
+        grids.append(gc)
+    return jnp.stack(grids)
+
+
+@partial(jax.jit, static_argnames=("support",))
+def _interp(grids, points, lo, h, sigma, support):
+    dtype = grids.dtype
+    grid_shape = grids.shape[1:]
+    rel = (points - lo[None, :]) / h
+    base = jnp.floor(rel).astype(jnp.int32)
+    frac = rel - base.astype(dtype)
+    sigma_h = sigma / h
+    wx = _window_1d(frac[:, 0], support, sigma_h, dtype)
+    wy = _window_1d(frac[:, 1], support, sigma_h, dtype)
+    wz = _window_1d(frac[:, 2], support, sigma_h, dtype)
+    offs = jnp.arange(support) - (support // 2)
+    ix = (base[:, 0:1] + offs[None, :]) % grid_shape[0]
+    iy = (base[:, 1:2] + offs[None, :]) % grid_shape[1]
+    iz = (base[:, 2:3] + offs[None, :]) % grid_shape[2]
+    w3 = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    vals = grids[:, ix[:, :, None, None], iy[:, None, :, None], iz[:, None, None, :]]
+    return jnp.einsum("cnijk,nijk->nc", vals, w3)
+
+
+@jax.jit
+def _far_convolve(grids, khat):
+    fhat = jnp.fft.rfftn(grids, axes=(1, 2, 3))
+    ux = khat[0] * fhat[0] + khat[1] * fhat[1] + khat[2] * fhat[2]
+    uy = khat[1] * fhat[0] + khat[3] * fhat[1] + khat[4] * fhat[2]
+    uz = khat[2] * fhat[0] + khat[4] * fhat[1] + khat[5] * fhat[2]
+    u = jnp.stack([ux, uy, uz])
+    return jnp.fft.irfftn(u, s=grids.shape[1:], axes=(1, 2, 3)).astype(grids.dtype)
+
+
+def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg):
+    grids = _spread(r_src, f_src, grid.lo, grid.h, grid.sigma,
+                    grid.shape, grid.support)
+    u_grids = _far_convolve(grids, grid.khat)
+    # the tabulated kernel carries the h³ quadrature of the convolution
+    return _interp(u_grids, r_trg, grid.lo, grid.h, grid.sigma, grid.support)
+
+
+# ---- near field: cell lists ----
+
+@partial(jax.jit, static_argnames=("n_cells_xyz", "cap", "a"))
+def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a):
+    """Cell-list screened pairwise sum.
+
+    Sources bin into cells of size ≥ r_cut with fixed per-cell capacity
+    (overflow contributes from the dropped tail — callers size `cap` from the
+    true max occupancy). Each target gathers its 27 neighbor cells.
+    """
+    dtype = r_trg.dtype
+    nx, ny, nz = n_cells_xyz
+    n_cells = nx * ny * nz
+    ci = jnp.clip(((r_src - lo[None, :]) / cell_size).astype(jnp.int32),
+                  0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+    key = (ci[:, 0] * ny + ci[:, 1]) * nz + ci[:, 2]
+    order = jnp.argsort(key)
+    key_s = key[order]
+    r_s = r_src[order]
+    f_s = f_src[order]
+    # rank within cell
+    counts = jnp.zeros(n_cells, jnp.int32).at[key_s].add(1)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = jnp.arange(key_s.shape[0], dtype=jnp.int32) - starts[key_s]
+    slot_ok = rank < cap
+    slot = jnp.where(slot_ok, rank, cap - 1)
+    # padded per-cell stores
+    cell_r = jnp.full((n_cells, cap, 3), 1e30, dtype)
+    cell_f = jnp.zeros((n_cells, cap, 3), dtype)
+    cell_r = cell_r.at[key_s, slot].set(jnp.where(slot_ok[:, None], r_s, 1e30))
+    cell_f = cell_f.at[key_s, slot].set(jnp.where(slot_ok[:, None], f_s, 0.0))
+
+    # neighbor table (27 per cell), clipped at the box faces
+    cx = jnp.arange(nx)
+    cy = jnp.arange(ny)
+    cz = jnp.arange(nz)
+
+    tci = jnp.clip(((r_trg - lo[None, :]) / cell_size).astype(jnp.int32),
+                   0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+
+    def one_target_chunk(rt_chunk_and_ci):
+        rt, tci_c = rt_chunk_and_ci
+        u = jnp.zeros_like(rt)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    ni = jnp.clip(tci_c[:, 0] + dx, 0, nx - 1)
+                    nj = jnp.clip(tci_c[:, 1] + dy, 0, ny - 1)
+                    nk = jnp.clip(tci_c[:, 2] + dz, 0, nz - 1)
+                    # avoid double counting clipped duplicates
+                    valid = ((tci_c[:, 0] + dx == ni) & (tci_c[:, 1] + dy == nj)
+                             & (tci_c[:, 2] + dz == nk))
+                    nkey = (ni * ny + nj) * nz + nk
+                    rs = cell_r[nkey]            # (T, cap, 3)
+                    fs = cell_f[nkey]
+                    d = rt[:, None, :] - rs
+                    r2 = jnp.sum(d * d, axis=-1)
+                    fN, gN = near_coeffs(r2, a)
+                    live = r2 < (1e29) ** 2
+                    fN = jnp.where(live & valid[:, None], fN, 0.0)
+                    gN = jnp.where(live & valid[:, None], gN, 0.0)
+                    df = jnp.sum(d * fs, axis=-1)
+                    r2safe = jnp.where(r2 > 0, r2, 1.0)
+                    u = u + jnp.sum(fN[:, :, None] * fs
+                                    + (gN * df / r2safe)[:, :, None] * d, axis=1)
+        return u
+
+    CH = 4096
+    T = r_trg.shape[0]
+    pad = (-T) % CH
+    rt_p = jnp.pad(r_trg, ((0, pad), (0, 0)))
+    ci_p = jnp.pad(tci, ((0, pad), (0, 0)))
+    u = jax.lax.map(one_target_chunk,
+                    (rt_p.reshape(-1, CH, 3), ci_p.reshape(-1, CH, 3)))
+    return u.reshape(-1, 3)[:T]
+
+
+class EwaldStokeslet:
+    """Stokeslet evaluator with spectral far field + cell-list near field.
+
+    Built once for a bounding box and splitting width `a`; then
+    ``apply(r_src, f_src, r_trg, eta)`` is a drop-in for the dense
+    evaluators. `r_cut = cut_in_a · a` controls the near-field truncation
+    (6a → ~1e-16 split error).
+    """
+
+    def __init__(self, lo, hi, a: float, points_per_a: float = 4.0,
+                 support: int = None, cut_in_a: float = 6.0, cap: int = 64,
+                 dtype=jnp.float32):
+        self.grid = build_grid(lo, hi, a, points_per_a, support, dtype)
+        self.a = float(a)
+        self.r_cut = cut_in_a * a
+        self.cap = int(cap)
+        self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
+        hi = np.asarray(hi, np.float64) + 2 * self.r_cut
+        self.cell = self.r_cut
+        self.n_cells = tuple(max(1, int(np.ceil((hi[i] - self.lo[i]) / self.cell)))
+                             for i in range(3))
+        self.dtype = dtype
+
+    def apply(self, r_src, f_src, r_trg, eta=1.0, n_self: int = 0):
+        """Velocity at targets; self-pairs contribute zero (dense-evaluator
+        semantics). ``n_self`` marks how many leading targets coincide with
+        the sources (index-aligned) so their grid-borne S_far(0) self term
+        can be subtracted — the usual case r_trg = [sources | extras].
+        """
+        dt = self.dtype
+        u_far = far_field_apply(self.grid, r_src.astype(dt), f_src.astype(dt),
+                                r_trg.astype(dt))
+        u_near = _near_apply(r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
+                             jnp.asarray(self.lo, dt), self.cell,
+                             self.n_cells, self.cap, self.a)
+        u = u_far + u_near
+        if n_self:
+            f0 = 1.0 / (2.0 * math.pi**1.5 * self.a)   # f_far(0)
+            u = u.at[:n_self].add(-f0 * f_src[:n_self].astype(dt))
+        return (u / eta).astype(r_trg.dtype)
