@@ -98,7 +98,7 @@ def _round_up_fft(n: int) -> int:
 
 
 def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
-               points_per_a: float = 4.0, support: int = None,
+               points_per_a: float = 2.5, support: int = None,
                dtype=jnp.float32) -> EwaldGrid:
     """Precompute the spectral far-field operator for a fixed box.
 
@@ -324,12 +324,14 @@ class EwaldStokeslet:
 
     Built once for a bounding box and splitting width `a`; then
     ``apply(r_src, f_src, r_trg, eta)`` is a drop-in for the dense
-    evaluators. `r_cut = cut_in_a · a` controls the near-field truncation
-    (6a → ~1e-16 split error).
+    evaluators. Defaults balance near/far work at the ~1e-4 accuracy class
+    (PME balance): r_cut = 3.5a truncates erfc at ~5e-6, grid h = a/2.5
+    keeps the screened spectrum ~5e-5 at Nyquist. Choose a ≈ 1-2× the mean
+    point spacing; `cap` bounds points per r_cut-sized cell.
     """
 
-    def __init__(self, lo, hi, a: float, points_per_a: float = 4.0,
-                 support: int = None, cut_in_a: float = 6.0, cap: int = 64,
+    def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
+                 support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32):
         self.grid = build_grid(lo, hi, a, points_per_a, support, dtype)
         self.a = float(a)
