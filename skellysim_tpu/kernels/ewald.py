@@ -269,9 +269,9 @@ def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a):
     slot_ok = rank < cap
     slot = jnp.where(slot_ok, rank, cap - 1)
     # padded per-cell stores
-    cell_r = jnp.full((n_cells, cap, 3), 1e30, dtype)
+    cell_r = jnp.full((n_cells, cap, 3), 1e15, dtype)
     cell_f = jnp.zeros((n_cells, cap, 3), dtype)
-    cell_r = cell_r.at[key_s, slot].set(jnp.where(slot_ok[:, None], r_s, 1e30))
+    cell_r = cell_r.at[key_s, slot].set(jnp.where(slot_ok[:, None], r_s, 1e15))
     cell_f = cell_f.at[key_s, slot].set(jnp.where(slot_ok[:, None], f_s, 0.0))
 
     # neighbor table (27 per cell), clipped at the box faces
@@ -300,7 +300,7 @@ def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a):
                     d = rt[:, None, :] - rs
                     r2 = jnp.sum(d * d, axis=-1)
                     fN, gN = near_coeffs(r2, a)
-                    live = r2 < (1e29) ** 2
+                    live = r2 < 1e28
                     fN = jnp.where(live & valid[:, None], fN, 0.0)
                     gN = jnp.where(live & valid[:, None], gN, 0.0)
                     df = jnp.sum(d * fs, axis=-1)
