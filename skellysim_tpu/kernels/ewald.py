@@ -150,8 +150,10 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     ky = 2 * np.pi * np.fft.fftfreq(padded[1], d=h)
     kz = 2 * np.pi * np.fft.rfftfreq(padded[2], d=h)
     K2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2)
-    wk = np.exp(-sigma * sigma * K2 / 2.0)
-    khat = khat / np.maximum(wk * wk, 1e-30)[None]
+    wk2 = np.exp(-sigma * sigma * K2)
+    # modes where the window has no support are unresolvable: zero them
+    # rather than amplifying into overflow
+    khat = np.where(wk2 > 1e-7, khat / np.maximum(wk2, 1e-7), 0.0)
 
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),
