@@ -176,10 +176,12 @@ def _point_cells(points, grid: EwaldGrid):
     return base, frac
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "support"))
-def _spread(points, values, lo, h, sigma, grid_shape, support):
-    dtype = values.dtype
-    N = points.shape[0]
+def _flat_window(points, lo, h, sigma, grid_shape, support, dtype):
+    """Flat (N, W³) grid indices + combined window weights.
+
+    The flattened layout keeps the trailing axis large (W³), which matters:
+    (N, W, W, W) operands would be lane-padded W → 128 by TPU tiling.
+    """
     rel = (points - lo[None, :]) / h
     base = jnp.floor(rel).astype(jnp.int32)
     frac = rel - base.astype(dtype)
@@ -191,17 +193,23 @@ def _spread(points, values, lo, h, sigma, grid_shape, support):
     ix = (base[:, 0:1] + offs[None, :]) % grid_shape[0]
     iy = (base[:, 1:2] + offs[None, :]) % grid_shape[1]
     iz = (base[:, 2:3] + offs[None, :]) % grid_shape[2]
-    # combined weights (N, W, W, W) and scatter-add into the 3 grids
-    w3 = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
-    gx = jnp.zeros(grid_shape, dtype)
-    I = ix[:, :, None, None]
-    J = iy[:, None, :, None]
-    Kk = iz[:, None, None, :]
+    W = support
+    flat = ((ix[:, :, None, None] * grid_shape[1] + iy[:, None, :, None])
+            * grid_shape[2] + iz[:, None, None, :]).reshape(-1, W * W * W)
+    w3 = (wx[:, :, None, None] * wy[:, None, :, None]
+          * wz[:, None, None, :]).reshape(-1, W * W * W)
+    return flat, w3
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "support"))
+def _spread(points, values, lo, h, sigma, grid_shape, support):
+    dtype = values.dtype
+    flat, w3 = _flat_window(points, lo, h, sigma, grid_shape, support, dtype)
+    G = grid_shape[0] * grid_shape[1] * grid_shape[2]
     grids = []
     for c in range(3):
-        gc = jnp.zeros(grid_shape, dtype).at[I, J, Kk].add(
-            w3 * values[:, c, None, None, None])
-        grids.append(gc)
+        gc = jnp.zeros(G, dtype).at[flat].add(w3 * values[:, c, None])
+        grids.append(gc.reshape(grid_shape))
     return jnp.stack(grids)
 
 
@@ -209,20 +217,10 @@ def _spread(points, values, lo, h, sigma, grid_shape, support):
 def _interp(grids, points, lo, h, sigma, support):
     dtype = grids.dtype
     grid_shape = grids.shape[1:]
-    rel = (points - lo[None, :]) / h
-    base = jnp.floor(rel).astype(jnp.int32)
-    frac = rel - base.astype(dtype)
-    sigma_h = sigma / h
-    wx = _window_1d(frac[:, 0], support, sigma_h, dtype)
-    wy = _window_1d(frac[:, 1], support, sigma_h, dtype)
-    wz = _window_1d(frac[:, 2], support, sigma_h, dtype)
-    offs = jnp.arange(support) - (support // 2)
-    ix = (base[:, 0:1] + offs[None, :]) % grid_shape[0]
-    iy = (base[:, 1:2] + offs[None, :]) % grid_shape[1]
-    iz = (base[:, 2:3] + offs[None, :]) % grid_shape[2]
-    w3 = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
-    vals = grids[:, ix[:, :, None, None], iy[:, None, :, None], iz[:, None, None, :]]
-    return jnp.einsum("cnijk,nijk->nc", vals, w3)
+    flat, w3 = _flat_window(points, lo, h, sigma, grid_shape, support, dtype)
+    flat_grids = grids.reshape(3, -1)
+    vals = flat_grids[:, flat]                      # (3, N, W³)
+    return jnp.einsum("cnw,nw->nc", vals, w3)
 
 
 @jax.jit
