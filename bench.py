@@ -104,6 +104,37 @@ def main():
         dev = accel[0]
         n = 8192
         rates = {}
+        # stresslet rate (reference benchmarks both kernels); strengths are
+        # rank-1 n⊗q tensors like the double-layer use sites
+        from skellysim_tpu.kernels.pallas_tpu import stresslet_apply_pallas
+
+        def _stresslet_chain(n_, K, device, dtype):
+            import jax
+            import jax.numpy as jnp
+
+            rng = np.random.default_rng(1)
+            r = jax.device_put(jnp.asarray(rng.uniform(-1, 1, (n_, 3)), dtype), device)
+            q = jax.device_put(jnp.asarray(rng.normal(size=(n_, 3)), dtype), device)
+            nrm = jax.device_put(jnp.asarray(rng.normal(size=(n_, 3)), dtype), device)
+
+            @jax.jit
+            def run(r, q):
+                def body(i, u):
+                    S = nrm[:, :, None] * (q + 1e-3 * u)[:, None, :]
+                    return stresslet_apply_pallas(r, S, r, 1.0)
+                return jnp.sum(jax.lax.fori_loop(0, K, body, q))
+
+            float(run(r, q))
+            t0 = time.perf_counter()
+            float(run(r, q))
+            return (time.perf_counter() - t0) / K
+
+        try:
+            dt_str = _stresslet_chain(n, 10, dev, jnp.float32)
+            print(f"tpu pallas stresslet f32 n={n}: {n*n/dt_str:.3e} inter/s "
+                  f"({dt_str*1e3:.2f} ms)", file=sys.stderr)
+        except Exception as e:
+            print(f"stresslet bench failed: {e}", file=sys.stderr)
         for name, kern in [("xla", xla_kernel), ("pallas", pallas_kernel)]:
             try:
                 dt = _chain_bench(kern, n, 20, dev, jnp.float32)

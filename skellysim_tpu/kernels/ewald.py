@@ -169,13 +169,6 @@ def _window_1d(frac: jax.Array, support: int, sigma_h: float, dtype):
     return w / jnp.sum(w, axis=1, keepdims=True)
 
 
-def _point_cells(points, grid: EwaldGrid):
-    rel = (points - grid.lo[None, :]) / grid.h
-    base = jnp.floor(rel).astype(jnp.int32)
-    frac = rel - base
-    return base, frac
-
-
 def _flat_window(points, lo, h, sigma, grid_shape, support, dtype):
     """Flat (N, W³) grid indices + combined window weights.
 
