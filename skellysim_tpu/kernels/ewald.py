@@ -116,7 +116,10 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     lo = np.asarray(lo, np.float64) - margin
     hi = np.asarray(hi, np.float64) + margin
     shape = tuple(int(np.ceil((hi[i] - lo[i]) / h)) + 1 for i in range(3))
-    padded = tuple(_round_up_fft(2 * s) for s in shape)
+    # extra padding makes room for a smooth per-dim taper of the tabulated
+    # kernel over offsets no physical pair uses (see below)
+    taper_cells = 22
+    padded = tuple(_round_up_fft(2 * s + 2 * taper_cells) for s in shape)
 
     # tabulate S_far components on the padded (aperiodic, wrapped) grid
     from scipy.special import erf as _erf
@@ -143,17 +146,55 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     # at r = 0: g → 0 smoothly, diagonal → f_far(0)
     K = np.stack([Kxx, Kxy, Kxz, Kyy, Kyz, Kzz])
 
+    # Occupied cells span at most shape_i−1 per dim, so kernel values at
+    # larger per-dim offsets multiply empty cells — the circular convolution
+    # never reads them for valid geometry. Left untapered, the kernel's 1/r
+    # tail is discontinuous across the periodic wrap seam, filling the
+    # near-Nyquist modes with ~1e-5 content that the window deconvolution
+    # then corrupts (the former accuracy floor). An erfc rolloff confined to
+    # the unused range removes the seam while changing no physical pair.
+    from scipy.special import erfc as _erfc
+    w_t = 2.2 * h
+    for axis in range(3):
+        off = axes[axis]
+        lim = (shape[axis] - 1) * h
+        T = 0.5 * _erfc((np.abs(off) - lim - 5 * w_t) / w_t)
+        bshape = [1, 1, 1, 1]
+        bshape[axis + 1] = padded[axis]
+        K *= T.reshape(bshape)
+
     khat = np.fft.rfftn(K, axes=(1, 2, 3))
     # deconvolve the two Gaussian windows: w(r) ∝ e^{−r²/(2σ²)}, normalized;
     # its continuous transform is e^{−σ²k²/2}; gridded windows approximate it
     kx = 2 * np.pi * np.fft.fftfreq(padded[0], d=h)
     ky = 2 * np.pi * np.fft.fftfreq(padded[1], d=h)
     kz = 2 * np.pi * np.fft.rfftfreq(padded[2], d=h)
-    K2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2)
-    wk2 = np.exp(-sigma * sigma * K2)
+
+    # continuous FT of the ES window by quadrature (FINUFFT practice); the
+    # window is sampled in CELL units, so transform against k·h
+    beta = _es_beta(support)
+    half = support / 2.0
+    # substitute x = (W/2)·sinθ: φ dx = e^{β(cosθ−1)}·(W/2)cosθ dθ is smooth
+    # (no sqrt endpoint singularity), so the trapezoid rule is spectrally
+    # accurate — the 1e-5-class quadrature error of sampling φ(x) directly
+    # shows up verbatim in the deconvolved far field
+    th = np.linspace(-np.pi / 2, np.pi / 2, 2001)
+    xq = half * np.sin(th)
+    phi = np.exp(beta * (np.cos(th) - 1.0)) * half * np.cos(th)
+    dth = th[1] - th[0]
+
+    def wk_1d(k):
+        # ŵ(k) normalized to ŵ(0) = 1
+        vals = (phi[None, :] * np.cos(np.outer(k * h, xq))).sum(axis=1) * dth
+        return vals / vals.max()
+
+    wx = wk_1d(kx)
+    wy = wk_1d(ky)
+    wz = wk_1d(kz)
+    wk2 = (wx[:, None, None] * wy[None, :, None] * wz[None, None, :]) ** 2
     # modes where the window has no support are unresolvable: zero them
     # rather than amplifying into overflow
-    khat = np.where(wk2 > 1e-7, khat / np.maximum(wk2, 1e-7), 0.0)
+    khat = np.where(np.abs(wk2) > 1e-9, khat / np.where(np.abs(wk2) > 1e-9, wk2, 1.0), 0.0)
 
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),
@@ -161,11 +202,34 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
                                       else jnp.complex128), a=float(a))
 
 
+def _es_beta(support: int) -> float:
+    """Exponential-of-semicircle shape parameter.
+
+    FINUFFT's β = 2.30·W/2 assumes a 2×-oversampled fine grid whose upper
+    half-band is discarded. Here every padded-grid mode up to Nyquist is
+    deconvolved, so β must keep ŵ's first zero beyond Nyquist:
+    β ≈ 0.96·π·W/2 (the classic no-oversampling Kaiser–Bessel regime)."""
+    return 0.96 * np.pi * (support / 2.0)
+
+
 def _window_1d(frac: jax.Array, support: int, sigma_h: float, dtype):
-    """Normalized Gaussian weights at integer offsets −W/2..W/2 − frac."""
+    """Exponential-of-semicircle window φ(t) = e^{β(√(1−t²)−1)} at integer
+    offsets −W/2..W/2 − frac (t scaled to [−1, 1] across the support).
+
+    The ES window (the FINUFFT kernel) reaches spectral-class spreading
+    accuracy at the same width where a Gaussian stalls near 1e-4.
+    ``sigma_h`` is unused (kept for signature stability)."""
+    del sigma_h
+    beta = _es_beta(support)
+    half = support / 2.0
     offs = jnp.arange(support, dtype=dtype) - (support // 2)
-    d = offs[None, :] - frac[:, None]          # (N, W) in cell units
-    w = jnp.exp(-(d * d) / (2.0 * sigma_h * sigma_h))
+    t = (offs[None, :] - frac[:, None]) / half    # (N, W) in [−1, 1]
+    inside = jnp.abs(t) < 1.0
+    arg = jnp.sqrt(jnp.where(inside, 1.0 - t * t, 0.0))
+    w = jnp.where(inside, jnp.exp(beta * (arg - 1.0)), 0.0)
+    # per-point sum normalization ≈ dividing by ∫φ/h (the window is designed
+    # so Σ_n φ(n−frac) is frac-independent to spectral accuracy); the
+    # deconvolution uses ŵ(k)/ŵ(0) to match
     return w / jnp.sum(w, axis=1, keepdims=True)
 
 
@@ -176,7 +240,10 @@ def _flat_window(points, lo, h, sigma, grid_shape, support, dtype):
     (N, W, W, W) operands would be lane-padded W → 128 by TPU tiling.
     """
     rel = (points - lo[None, :]) / h
-    base = jnp.floor(rel).astype(jnp.int32)
+    # center the W taps on the NEAREST node: displacements stay in ±W/2, the
+    # window's full support (floor-centering truncates one side for frac>1/2,
+    # a 1e-4-class spreading error)
+    base = jnp.floor(rel + 0.5).astype(jnp.int32)
     frac = rel - base.astype(dtype)
     sigma_h = sigma / h
     wx = _window_1d(frac[:, 0], support, sigma_h, dtype)

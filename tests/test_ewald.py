@@ -43,23 +43,23 @@ def test_ewald_matches_dense_stokeslet():
     got = np.asarray(ew.apply(pts, f, trg, 0.7, n_self=N))
     want = np.asarray(stokeslet_apply(pts, f, trg, 0.7))
     scale = np.abs(want).max()
-    assert np.abs(got - want).max() / scale < 2e-3
+    assert np.abs(got - want).max() / scale < 1e-4
 
 
 def test_ewald_accuracy_envelope():
-    """Current accuracy envelope of the Gaussian-window far field: ~5e-4
-    relative across resolutions (window-family limited; a Kaiser–Bessel
-    window upgrade is the known path below 1e-6). Sufficient for the f32
-    production solve path (GMRES tol 1e-5)."""
+    """Far-field accuracy: the exponential-of-semicircle window with exact
+    deconvolution and a seam-tapered Hockney tabulation reaches ~1e-6
+    relative at points_per_a=3 — the same class as the reference's FMM
+    multipole-order-8 settings (kernel_test.cpp fmm rows)."""
     rng = np.random.default_rng(1)
     N = 200
     pts = jnp.asarray(rng.uniform(0, 1.5, (N, 3)))
     f = jnp.asarray(rng.normal(size=(N, 3)))
     want = np.asarray(stokeslet_apply(pts, f, pts, 1.0))
     scale = np.abs(want).max()
-    for ppa in (3.0, 5.0):
+    for ppa, tol in ((2.5, 3e-5), (3.0, 3e-6)):
         ew = ewald.EwaldStokeslet(lo=[0, 0, 0], hi=[1.5, 1.5, 1.5], a=0.25,
                                   points_per_a=ppa,
                                   dtype=jnp.float64, cap=256)
         got = np.asarray(ew.apply(pts, f, pts, 1.0, n_self=N))
-        assert np.abs(got - want).max() / scale < 1e-3
+        assert np.abs(got - want).max() / scale < tol
