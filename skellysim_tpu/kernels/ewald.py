@@ -69,6 +69,60 @@ def far_coeffs(r2: jax.Array, a: float):
     return erf_term + gauss, erf_term - gauss
 
 
+# The stresslet splits through the same blob via the identity
+#   T_ijk = ∂_k S_ij + ∂_j S_ik − δ_jk P_i,   P_i = −∂_i φ,  ∇²φ = −γ_blob
+# (verified symbolically; φ = erf(ρ)/(4πr) + e^{−ρ²}/(4π^{3/2}a)). Writing
+#   T = A δ_jk r̂_i + B (δ_ij r̂_k + δ_ik r̂_j) + C r̂_i r̂_j r̂_k,
+# the screened (far) coefficients come out strikingly simple:
+#   A_far = B_far = −r e^{−ρ²} / (2π^{3/2} a³)
+#   C_far = −3erf(ρ)/(4πr²) + 3e^{−ρ²}/(2π^{3/2} a r) + r e^{−ρ²}/(π^{3/2} a³)
+# The full kernel has A = B = 0, C = −3/(4πr²), so the near field is the
+# complement; all near coefficients decay like e^{−ρ²} (C_far → C_full with
+# Gaussian-fast residual), and T_far(0) = 0 — the far grid contributes no
+# self term. These are 8π/η-free; callers scale by 1/(2η) to match
+# reference.py's stresslet convention u = −3/(8πη)(d·S·d)d/r⁵.
+
+def stresslet_near_coeffs(r2: jax.Array, a: float):
+    """(A/r, B/r, C/r³) of the NEAR stresslet; self-pairs excluded.
+
+    Returned pre-divided so the contraction uses raw displacement vectors:
+    u = (A/r)·tr(S)·d + (B/r)·[(q·d)n + (n·d)q] + (C/r³)·(n·d)(q·d)·d.
+    """
+    nonzero = r2 > 0.0
+    r2s = jnp.where(nonzero, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    rho = r / a
+    gauss = jnp.exp(-rho * rho)
+    c3 = 1.0 / (2.0 * math.pi**1.5 * a**3)
+    A_r = c3 * gauss                              # A_near/r (smooth)
+    erfc = jax.lax.erfc(rho)
+    # C_near/r³ = [−3erfc(ρ)/(4πr²) − 3e^{−ρ²}/(2π^{3/2}ar) − re^{−ρ²}/(π^{3/2}a³)]/r³
+    C_r3 = (-3.0 * erfc / (4.0 * math.pi * r2s)
+            - 3.0 * gauss / (2.0 * math.pi**1.5 * a * r)
+            - 2.0 * c3 * r * gauss) / (r2s * r)
+    A_r = jnp.where(nonzero, A_r, 0.0)
+    C_r3 = jnp.where(nonzero, C_r3, 0.0)
+    return A_r, A_r, C_r3
+
+
+def stresslet_far_coeffs(r2: jax.Array, a: float):
+    """(A/r, B/r, C/r³) of the FAR stresslet; smooth, →0 at r = 0."""
+    r2s = jnp.where(r2 > 0.0, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    rho = jnp.sqrt(r2) / a
+    gauss = jnp.exp(-rho * rho)
+    c3 = 1.0 / (2.0 * math.pi**1.5 * a**3)
+    A_r = -c3 * gauss
+    small = rho < 1e-4
+    erf = jax.lax.erf(rho)
+    # C_far/r³ → −2/(5π^{3/2}a⁵) as r → 0 (three O(1/r) terms cancel to O(r³))
+    C_r3 = jnp.where(small, -2.0 / (5.0 * math.pi**1.5 * a**5),
+                     (-3.0 * erf / (4.0 * math.pi * r2s)
+                      + 3.0 * gauss / (2.0 * math.pi**1.5 * a * r)
+                      + 2.0 * c3 * r * gauss) / (r2s * r))
+    return A_r, A_r, C_r3
+
+
 # ---- grid machinery ----
 
 class EwaldGrid(NamedTuple):
@@ -79,6 +133,7 @@ class EwaldGrid(NamedTuple):
     support: int           # window width in cells (odd)
     khat: jax.Array        # (6, *fft_shape) deconvolved far-kernel spectrum
     a: float
+    phihat: jax.Array = None  # (*fft_shape,) blob pressure potential spectrum
 
 
 def _round_up_fft(n: int) -> int:
@@ -146,6 +201,14 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     # at r = 0: g → 0 smoothly, diagonal → f_far(0)
     K = np.stack([Kxx, Kxy, Kxz, Kyy, Kyz, Kzz])
 
+    # blob pressure potential φ = erf(ρ)/(4πr) + e^{−ρ²}/(4π^{3/2}a): the
+    # scalar completing the screened stresslet T_far = ∂S_far + ∂S_far
+    # + δ ∂φ (see stresslet_far_coeffs); φ(0) = 3/(4π^{3/2}a)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = np.where(rho < 1e-12, 3.0 / (4.0 * math.pi**1.5 * a),
+                       _erf(rho) / (4.0 * math.pi * np.where(r > 0, r, 1.0))
+                       + np.exp(-rho * rho) / (4.0 * math.pi**1.5 * a))
+
     # Occupied cells span at most shape_i−1 per dim, so kernel values at
     # larger per-dim offsets multiply empty cells — the circular convolution
     # never reads them for valid geometry. Left untapered, the kernel's 1/r
@@ -162,8 +225,10 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
         bshape = [1, 1, 1, 1]
         bshape[axis + 1] = padded[axis]
         K *= T.reshape(bshape)
+        phi *= T.reshape(bshape[1:])
 
     khat = np.fft.rfftn(K, axes=(1, 2, 3))
+    phihat = np.fft.rfftn(phi)
     # deconvolve the two Gaussian windows: w(r) ∝ e^{−r²/(2σ²)}, normalized;
     # its continuous transform is e^{−σ²k²/2}; gridded windows approximate it
     kx = 2 * np.pi * np.fft.fftfreq(padded[0], d=h)
@@ -194,12 +259,16 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     wk2 = (wx[:, None, None] * wy[None, :, None] * wz[None, None, :]) ** 2
     # modes where the window has no support are unresolvable: zero them
     # rather than amplifying into overflow
-    khat = np.where(np.abs(wk2) > 1e-9, khat / np.where(np.abs(wk2) > 1e-9, wk2, 1.0), 0.0)
+    keep = np.abs(wk2) > 1e-9
+    wk2s = np.where(keep, wk2, 1.0)
+    khat = np.where(keep, khat / wk2s, 0.0)
+    phihat = np.where(keep, phihat / wk2s, 0.0)
 
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),
-                     khat=jnp.asarray(khat, jnp.complex64 if dtype == jnp.float32
-                                      else jnp.complex128), a=float(a))
+                     khat=jnp.asarray(khat, cdtype), a=float(a),
+                     phihat=jnp.asarray(phihat, cdtype))
 
 
 def _es_beta(support: int) -> float:
@@ -263,11 +332,12 @@ def _flat_window(points, lo, h, sigma, grid_shape, support, dtype):
 
 @partial(jax.jit, static_argnames=("grid_shape", "support"))
 def _spread(points, values, lo, h, sigma, grid_shape, support):
+    """Spread (N, C) strengths onto C grids (C static)."""
     dtype = values.dtype
     flat, w3 = _flat_window(points, lo, h, sigma, grid_shape, support, dtype)
     G = grid_shape[0] * grid_shape[1] * grid_shape[2]
     grids = []
-    for c in range(3):
+    for c in range(values.shape[1]):
         gc = jnp.zeros(G, dtype).at[flat].add(w3 * values[:, c, None])
         grids.append(gc.reshape(grid_shape))
     return jnp.stack(grids)
@@ -301,15 +371,62 @@ def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg):
     return _interp(u_grids, r_trg, grid.lo, grid.h, grid.sigma, grid.support)
 
 
+@partial(jax.jit, static_argnames=("shape", "support", "h"))
+def _far_stresslet_convolve(D_grids, khat, phihat, shape, support, h):
+    """Far stresslet via the k-space derivative identity.
+
+    With D̂ the 6 symmetric dipole-strength grids (xx,xy,xz,yy,yz,zz) and
+    Ŝ the deconvolved stokeslet tabulation,
+        û_i = i·[ 2 Σ_j Ŝ_ij M̂_j + k_i φ̂ tr(D̂) ],   M̂_j = Σ_k k_k D̂_jk,
+    which is the transform of T_ijk D_jk = (∂_k S_ij + ∂_j S_ik − δ_jk P_i)
+    D_jk. Spectral derivatives of the seam-tapered tabulation are exact to
+    its (Gaussian-small) aliasing level.
+    """
+    Dh = jnp.fft.rfftn(D_grids, axes=(1, 2, 3))
+    rdt = D_grids.dtype
+    kx = jnp.asarray(2 * np.pi * np.fft.fftfreq(shape[0], d=h), rdt)[:, None, None]
+    ky = jnp.asarray(2 * np.pi * np.fft.fftfreq(shape[1], d=h), rdt)[None, :, None]
+    kz = jnp.asarray(2 * np.pi * np.fft.rfftfreq(shape[2], d=h), rdt)[None, None, :]
+    Dxx, Dxy, Dxz, Dyy, Dyz, Dzz = Dh
+    Mx = kx * Dxx + ky * Dxy + kz * Dxz
+    My = kx * Dxy + ky * Dyy + kz * Dyz
+    Mz = kx * Dxz + ky * Dyz + kz * Dzz
+    trD = Dxx + Dyy + Dzz
+    ux = 2.0 * (khat[0] * Mx + khat[1] * My + khat[2] * Mz) + kx * phihat * trD
+    uy = 2.0 * (khat[1] * Mx + khat[3] * My + khat[4] * Mz) + ky * phihat * trD
+    uz = 2.0 * (khat[2] * Mx + khat[4] * My + khat[5] * Mz) + kz * phihat * trD
+    u = 1j * jnp.stack([ux, uy, uz])
+    return jnp.fft.irfftn(u, s=shape, axes=(1, 2, 3)).astype(D_grids.dtype)
+
+
+def far_stresslet_apply(grid: EwaldGrid, r_src, n_src, q_src, r_trg):
+    """Grid far field of the stresslet with density n⊗q (8π/η-free scale)."""
+    D = jnp.stack([n_src[:, 0] * q_src[:, 0],
+                   0.5 * (n_src[:, 0] * q_src[:, 1] + n_src[:, 1] * q_src[:, 0]),
+                   0.5 * (n_src[:, 0] * q_src[:, 2] + n_src[:, 2] * q_src[:, 0]),
+                   n_src[:, 1] * q_src[:, 1],
+                   0.5 * (n_src[:, 1] * q_src[:, 2] + n_src[:, 2] * q_src[:, 1]),
+                   n_src[:, 2] * q_src[:, 2]], axis=1)
+    D_grids = _spread(r_src, D, grid.lo, grid.h, grid.sigma,
+                      grid.shape, grid.support)
+    u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,
+                                      grid.shape, grid.support, grid.h)
+    return _interp(u_grids, r_trg, grid.lo, grid.h, grid.sigma, grid.support)
+
+
 # ---- near field: cell lists ----
 
-@partial(jax.jit, static_argnames=("n_cells_xyz", "cap", "a"))
-def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a):
+@partial(jax.jit, static_argnames=("n_cells_xyz", "cap", "a", "kernel"))
+def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a,
+                kernel="stokeslet"):
     """Cell-list screened pairwise sum.
 
     Sources bin into cells of size ≥ r_cut with fixed per-cell capacity
     (overflow contributes from the dropped tail — callers size `cap` from the
     true max occupancy). Each target gathers its 27 neighbor cells.
+
+    ``kernel``: "stokeslet" (payload (N,3) forces) or "stresslet"
+    (payload (N,6) = [normal | q], 8π/η-free scale).
     """
     dtype = r_trg.dtype
     nx, ny, nz = n_cells_xyz
@@ -329,8 +446,9 @@ def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a):
     slot_ok = rank < cap
     slot = jnp.where(slot_ok, rank, cap - 1)
     # padded per-cell stores
+    F = f_src.shape[1]
     cell_r = jnp.full((n_cells, cap, 3), 1e15, dtype)
-    cell_f = jnp.zeros((n_cells, cap, 3), dtype)
+    cell_f = jnp.zeros((n_cells, cap, F), dtype)
     cell_r = cell_r.at[key_s, slot].set(jnp.where(slot_ok[:, None], r_s, 1e15))
     cell_f = cell_f.at[key_s, slot].set(jnp.where(slot_ok[:, None], f_s, 0.0))
 
@@ -359,14 +477,30 @@ def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a):
                     fs = cell_f[nkey]
                     d = rt[:, None, :] - rs
                     r2 = jnp.sum(d * d, axis=-1)
-                    fN, gN = near_coeffs(r2, a)
-                    live = r2 < 1e28
-                    fN = jnp.where(live & valid[:, None], fN, 0.0)
-                    gN = jnp.where(live & valid[:, None], gN, 0.0)
-                    df = jnp.sum(d * fs, axis=-1)
-                    r2safe = jnp.where(r2 > 0, r2, 1.0)
-                    u = u + jnp.sum(fN[:, :, None] * fs
-                                    + (gN * df / r2safe)[:, :, None] * d, axis=1)
+                    live = (r2 < 1e28) & valid[:, None]
+                    if kernel == "stokeslet":
+                        fN, gN = near_coeffs(r2, a)
+                        fN = jnp.where(live, fN, 0.0)
+                        gN = jnp.where(live, gN, 0.0)
+                        df = jnp.sum(d * fs, axis=-1)
+                        r2safe = jnp.where(r2 > 0, r2, 1.0)
+                        u = u + jnp.sum(fN[:, :, None] * fs
+                                        + (gN * df / r2safe)[:, :, None] * d,
+                                        axis=1)
+                    else:
+                        ns_, qs_ = fs[:, :, :3], fs[:, :, 3:]
+                        A_r, B_r, C_r3 = stresslet_near_coeffs(r2, a)
+                        A_r = jnp.where(live, A_r, 0.0)
+                        B_r = jnp.where(live, B_r, 0.0)
+                        C_r3 = jnp.where(live, C_r3, 0.0)
+                        tr = jnp.sum(ns_ * qs_, axis=-1)
+                        nd = jnp.sum(d * ns_, axis=-1)
+                        qd = jnp.sum(d * qs_, axis=-1)
+                        u = u + jnp.sum((A_r * tr)[:, :, None] * d
+                                        + B_r[:, :, None] * (qd[:, :, None] * ns_
+                                                             + nd[:, :, None] * qs_)
+                                        + (C_r3 * nd * qd)[:, :, None] * d,
+                                        axis=1)
         return u
 
     CH = 4096
@@ -421,3 +555,41 @@ class EwaldStokeslet:
             f0 = 1.0 / (2.0 * math.pi**1.5 * self.a)   # f_far(0)
             u = u.at[:n_self].add(-f0 * f_src[:n_self].astype(dt))
         return (u / eta).astype(r_trg.dtype)
+
+
+class EwaldStresslet:
+    """Stresslet (double-layer) evaluator: spectral far + cell-list near.
+
+    Drop-in for the dense ``stresslet_apply`` with S = n⊗q densities —
+    the shell/body double-layer sums at scales beyond the dense tier
+    (the reference applies these through its FMM, STKFMM PVel kernels).
+    T_far(0) = 0, so unlike the stokeslet there is no grid self term to
+    subtract.
+    """
+
+    def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
+                 support: int = None, cut_in_a: float = 3.5, cap: int = 192,
+                 dtype=jnp.float32):
+        self.grid = build_grid(lo, hi, a, points_per_a, support, dtype)
+        self.a = float(a)
+        self.r_cut = cut_in_a * a
+        self.cap = int(cap)
+        self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
+        hi = np.asarray(hi, np.float64) + 2 * self.r_cut
+        self.cell = self.r_cut
+        self.n_cells = tuple(max(1, int(np.ceil((hi[i] - self.lo[i]) / self.cell)))
+                             for i in range(3))
+        self.dtype = dtype
+
+    def apply(self, r_src, n_src, q_src, r_trg, eta=1.0):
+        """Velocity at targets from stresslet densities S = n⊗q."""
+        dt = self.dtype
+        u_far = far_stresslet_apply(self.grid, r_src.astype(dt),
+                                    n_src.astype(dt), q_src.astype(dt),
+                                    r_trg.astype(dt))
+        payload = jnp.concatenate([n_src, q_src], axis=1).astype(dt)
+        u_near = _near_apply(r_src.astype(dt), payload, r_trg.astype(dt),
+                             jnp.asarray(self.lo, dt), self.cell,
+                             self.n_cells, self.cap, self.a,
+                             kernel="stresslet")
+        return ((u_far + u_near) / (2.0 * eta)).astype(r_trg.dtype)

@@ -63,3 +63,44 @@ def test_ewald_accuracy_envelope():
                                   dtype=jnp.float64, cap=256)
         got = np.asarray(ew.apply(pts, f, pts, 1.0, n_self=N))
         assert np.abs(got - want).max() / scale < tol
+
+
+def test_stresslet_split_is_exact():
+    """Near + far stresslet coefficients reconstruct −3/(4π) didjdk/r⁵
+    exactly (symbolic identity T = ∂S+∂S−δP with the blob pressure)."""
+    rng = np.random.default_rng(2)
+    a = 0.3
+    r2 = jnp.asarray(np.linspace(1e-3, 20.0, 500))
+    An, Bn, Cn = ewald.stresslet_near_coeffs(r2, a)
+    Af, Bf, Cf = ewald.stresslet_far_coeffs(r2, a)
+    # A, B cancel (full kernel has none); C sums to the full coefficient
+    np.testing.assert_allclose(np.asarray(An + Af), 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(Bn + Bf), 0.0, atol=1e-14)
+    want_C = -3.0 / (4.0 * np.pi * np.asarray(r2) ** 2.5)
+    np.testing.assert_allclose(np.asarray(Cn + Cf), want_C, rtol=1e-10)
+
+
+def test_stresslet_near_decays():
+    a = 0.3
+    r2 = jnp.asarray([(6.0 * a) ** 2])
+    for c in ewald.stresslet_near_coeffs(r2, a):
+        assert abs(float(c[0])) < 1e-14
+
+
+def test_ewald_stresslet_matches_dense():
+    from skellysim_tpu.kernels.reference import stresslet_apply
+
+    rng = np.random.default_rng(3)
+    N = 250
+    a = 0.25
+    eta = 0.9
+    src = jnp.asarray(rng.uniform(0, 1.8, (N, 3)))
+    trg = jnp.concatenate([src, jnp.asarray(rng.uniform(0, 1.8, (30, 3)))], 0)
+    nrm = jnp.asarray(rng.normal(size=(N, 3)))
+    q = jnp.asarray(rng.normal(size=(N, 3)))
+    S = nrm[:, :, None] * q[:, None, :]
+    want = np.asarray(stresslet_apply(src, S, trg, eta))
+    es = ewald.EwaldStresslet(lo=[0, 0, 0], hi=[1.8] * 3, a=a,
+                              points_per_a=3.0, dtype=jnp.float64, cap=256)
+    got = np.asarray(es.apply(src, nrm, q, trg, eta))
+    assert np.abs(got - want).max() / np.abs(want).max() < 3e-6
