@@ -70,9 +70,14 @@ class Params:
     )
     periphery_interaction_flag: bool = False
     adaptive_timestep_flag: bool = True
-    pair_evaluator: str = "direct"   # "direct" (XLA), "pallas" (TPU tiled), "CPU" accepted as alias
+    pair_evaluator: str = "direct"   # "direct" (XLA), "pallas" (TPU tiled), "ewald" (spectral far field); "CPU"/"GPU"/"FMM" accepted as aliases
     precision: str = "double"        # "double" (tight tolerances) | "single" (TPU production)
     fiber_type: str = "FiniteDifference"
+    # spectral-Ewald evaluator knobs (pair_evaluator = "ewald")
+    ewald_a: Optional[float] = None              # splitting width (None → mean spacing)
+    ewald_points_per_a: float = 3.0              # grid resolution (accuracy knob)
+    ewald_box: Optional[list] = None             # [[lo3],[hi3]] fixed box (None → auto)
+    ewald_cap: int = 192                         # near-field cell capacity
 
 
 @dataclass

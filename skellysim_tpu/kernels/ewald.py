@@ -399,14 +399,15 @@ def _far_stresslet_convolve(D_grids, khat, phihat, shape, support, h):
     return jnp.fft.irfftn(u, s=shape, axes=(1, 2, 3)).astype(D_grids.dtype)
 
 
-def far_stresslet_apply(grid: EwaldGrid, r_src, n_src, q_src, r_trg):
-    """Grid far field of the stresslet with density n⊗q (8π/η-free scale)."""
-    D = jnp.stack([n_src[:, 0] * q_src[:, 0],
-                   0.5 * (n_src[:, 0] * q_src[:, 1] + n_src[:, 1] * q_src[:, 0]),
-                   0.5 * (n_src[:, 0] * q_src[:, 2] + n_src[:, 2] * q_src[:, 0]),
-                   n_src[:, 1] * q_src[:, 1],
-                   0.5 * (n_src[:, 1] * q_src[:, 2] + n_src[:, 2] * q_src[:, 1]),
-                   n_src[:, 2] * q_src[:, 2]], axis=1)
+def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg):
+    """Grid far field of the stresslet with densities S (N,3,3); only the
+    symmetric part couples (T is symmetric in its density indices)."""
+    D = jnp.stack([S[:, 0, 0],
+                   0.5 * (S[:, 0, 1] + S[:, 1, 0]),
+                   0.5 * (S[:, 0, 2] + S[:, 2, 0]),
+                   S[:, 1, 1],
+                   0.5 * (S[:, 1, 2] + S[:, 2, 1]),
+                   S[:, 2, 2]], axis=1)
     D_grids = _spread(r_src, D, grid.lo, grid.h, grid.sigma,
                       grid.shape, grid.support)
     u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,
@@ -480,7 +481,11 @@ def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a,
                     live = (r2 < 1e28) & valid[:, None]
                     if kernel == "stokeslet":
                         fN, gN = near_coeffs(r2, a)
-                        fN = jnp.where(live, fN, 0.0)
+                        # coincident pairs: the far grid contributed
+                        # f_far(0)·f; cancel it here so the total matches the
+                        # dense evaluator's r=0 exclusion for ANY layout
+                        f0 = 1.0 / (2.0 * math.pi**1.5 * a)
+                        fN = jnp.where(live, jnp.where(r2 > 0, fN, -f0), 0.0)
                         gN = jnp.where(live, gN, 0.0)
                         df = jnp.sum(d * fs, axis=-1)
                         r2safe = jnp.where(r2 > 0, r2, 1.0)
@@ -488,18 +493,18 @@ def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a,
                                         + (gN * df / r2safe)[:, :, None] * d,
                                         axis=1)
                     else:
-                        ns_, qs_ = fs[:, :, :3], fs[:, :, 3:]
+                        Sm = fs.reshape(fs.shape[0], fs.shape[1], 3, 3)
                         A_r, B_r, C_r3 = stresslet_near_coeffs(r2, a)
                         A_r = jnp.where(live, A_r, 0.0)
                         B_r = jnp.where(live, B_r, 0.0)
                         C_r3 = jnp.where(live, C_r3, 0.0)
-                        tr = jnp.sum(ns_ * qs_, axis=-1)
-                        nd = jnp.sum(d * ns_, axis=-1)
-                        qd = jnp.sum(d * qs_, axis=-1)
+                        tr = jnp.trace(Sm, axis1=-2, axis2=-1)
+                        Sd = jnp.einsum("tcij,tcj->tci", Sm, d)
+                        Std = jnp.einsum("tcji,tcj->tci", Sm, d)
+                        dSd = jnp.sum(d * Sd, axis=-1)
                         u = u + jnp.sum((A_r * tr)[:, :, None] * d
-                                        + B_r[:, :, None] * (qd[:, :, None] * ns_
-                                                             + nd[:, :, None] * qs_)
-                                        + (C_r3 * nd * qd)[:, :, None] * d,
+                                        + B_r[:, :, None] * (Sd + Std)
+                                        + (C_r3 * dSd)[:, :, None] * d,
                                         axis=1)
         return u
 
@@ -539,22 +544,19 @@ class EwaldStokeslet:
         self.dtype = dtype
 
     def apply(self, r_src, f_src, r_trg, eta=1.0, n_self: int = 0):
-        """Velocity at targets; self-pairs contribute zero (dense-evaluator
-        semantics). ``n_self`` marks how many leading targets coincide with
-        the sources (index-aligned) so their grid-borne S_far(0) self term
-        can be subtracted — the usual case r_trg = [sources | extras].
+        """Velocity at targets; coincident pairs contribute zero
+        (dense-evaluator semantics — the near-field pass cancels the grid's
+        S_far(0) self term for any source/target layout). ``n_self`` is
+        accepted for backward compatibility and ignored.
         """
+        del n_self
         dt = self.dtype
         u_far = far_field_apply(self.grid, r_src.astype(dt), f_src.astype(dt),
                                 r_trg.astype(dt))
         u_near = _near_apply(r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
                              jnp.asarray(self.lo, dt), self.cell,
                              self.n_cells, self.cap, self.a)
-        u = u_far + u_near
-        if n_self:
-            f0 = 1.0 / (2.0 * math.pi**1.5 * self.a)   # f_far(0)
-            u = u.at[:n_self].add(-f0 * f_src[:n_self].astype(dt))
-        return (u / eta).astype(r_trg.dtype)
+        return ((u_far + u_near) / eta).astype(r_trg.dtype)
 
 
 class EwaldStresslet:
@@ -581,13 +583,13 @@ class EwaldStresslet:
                              for i in range(3))
         self.dtype = dtype
 
-    def apply(self, r_src, n_src, q_src, r_trg, eta=1.0):
-        """Velocity at targets from stresslet densities S = n⊗q."""
+    def apply(self, r_src, S, r_trg, eta=1.0):
+        """Velocity at targets from stresslet densities S (N,3,3) — the
+        dense ``stresslet_apply`` signature."""
         dt = self.dtype
         u_far = far_stresslet_apply(self.grid, r_src.astype(dt),
-                                    n_src.astype(dt), q_src.astype(dt),
-                                    r_trg.astype(dt))
-        payload = jnp.concatenate([n_src, q_src], axis=1).astype(dt)
+                                    S.astype(dt), r_trg.astype(dt))
+        payload = S.reshape(S.shape[0], 9).astype(dt)
         u_near = _near_apply(r_src.astype(dt), payload, r_trg.astype(dt),
                              jnp.asarray(self.lo, dt), self.cell,
                              self.n_cells, self.cap, self.a,

@@ -81,6 +81,13 @@ class Params:
         self.implicit_motor_activation_delay = g("implicit_motor_activation_delay", 0.0)
         self.periphery_interaction_flag = g("periphery_interaction_flag", False)
         self.pair_evaluator = g("pair_evaluator", "direct")
+        # spectral-Ewald evaluator knobs (pair_evaluator = "ewald"):
+        # splitting width a (None → mean source spacing), grid resolution,
+        # and a fixed bounding box [lo, hi] (None → geometry extent + margin)
+        self.ewald_a = g("ewald_a", None)
+        self.ewald_points_per_a = g("ewald_points_per_a", 3.0)
+        self.ewald_box = g("ewald_box", None)
+        self.ewald_cap = g("ewald_cap", 192)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
@@ -163,6 +170,52 @@ class System:
     def fiber_solution_size(self) -> int:
         return self.fibers.solution_size
 
+    def _ewald_evaluators(self):
+        """Build (stokeslet, stresslet) closures over a spectral-Ewald grid
+        sized to the system geometry — the linear-scaling far-field tier
+        standing in for the reference's FMM evaluator slot
+        (system.cpp evaluator selection; docs/farfield_plan.md).
+
+        The grid box is FIXED at build time: geometry extent + 15% margin
+        (or params.ewald_box). Confined systems stay inside; escaping
+        sources/targets would alias, so prefer an explicit box for
+        unconfined runs.
+        """
+        if getattr(self, "_ewald_pair", None) is not None:
+            return self._ewald_pair
+        from skellysim_tpu.kernels.ewald import EwaldStokeslet, EwaldStresslet
+
+        geom = [fs.positions(self.fibers.blocks)]
+        if self.shell is not None:
+            geom.append(self.shell.state.nodes)
+        if self.bodies.n_bodies:
+            caches = bcont.update_caches(self.bodies.states(), self.params.eta)
+            geom.append(bcont.positions(caches))
+        pts = [np.asarray(g).reshape(-1, 3) for g in geom if np.size(g)]
+        allp = np.concatenate(pts, axis=0) if pts else np.zeros((1, 3))
+        if self.params.ewald_box is not None:
+            lo, hi = (np.asarray(v, np.float64) for v in self.params.ewald_box)
+        else:
+            lo, hi = allp.min(0), allp.max(0)
+            pad = 0.15 * max(float((hi - lo).max()), 1.0)
+            lo, hi = lo - pad, hi + pad
+        a = self.params.ewald_a
+        if a is None:
+            vol = float(np.prod(hi - lo))
+            a = max((vol / max(len(allp), 1)) ** (1.0 / 3.0), 1e-3)
+        kw = dict(lo=lo, hi=hi, a=float(a),
+                  points_per_a=self.params.ewald_points_per_a,
+                  cap=self.params.ewald_cap, dtype=self.dtype)
+        stk = EwaldStokeslet(**kw)
+        st = EwaldStresslet(**kw)
+        logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s",
+                    np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape)
+        self._ewald_pair = (
+            lambda r_src, f, r_trg, eta: stk.apply(r_src, f, r_trg, eta),
+            lambda r_src, S, r_trg, eta: st.apply(r_src, S, r_trg, eta),
+        )
+        return self._ewald_pair
+
     def shell_solution_size(self) -> int:
         return self.shell.state.solution_size if self.shell else 0
 
@@ -216,6 +269,8 @@ class System:
         max_sites = self.bodies.max_sites()
         FS = F + Sz_shell
         ev_stk, ev_str = select_evaluators(p.pair_evaluator)
+        if p.pair_evaluator == "ewald":
+            ev_stk, ev_str = self._ewald_evaluators()
 
         @jax.jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
@@ -404,6 +459,8 @@ class System:
         max_sites = self.bodies.max_sites()
         FS = F + self.shell_solution_size()
         ev_stk, ev_str = select_evaluators(p.pair_evaluator)
+        if p.pair_evaluator == "ewald":
+            ev_stk, ev_str = self._ewald_evaluators()
 
         @jax.jit
         def vel_fn(blocks, shell_state, body_states, point_sources, background,

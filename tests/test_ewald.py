@@ -102,5 +102,5 @@ def test_ewald_stresslet_matches_dense():
     want = np.asarray(stresslet_apply(src, S, trg, eta))
     es = ewald.EwaldStresslet(lo=[0, 0, 0], hi=[1.8] * 3, a=a,
                               points_per_a=3.0, dtype=jnp.float64, cap=256)
-    got = np.asarray(es.apply(src, nrm, q, trg, eta))
+    got = np.asarray(es.apply(src, S, trg, eta))
     assert np.abs(got - want).max() / np.abs(want).max() < 3e-6
