@@ -462,6 +462,9 @@ class System:
         if p.pair_evaluator == "ewald":
             ev_stk, ev_str = self._ewald_evaluators()
 
+        delay = p.implicit_motor_activation_delay
+        force_types = tuple(self.bodies.force_types())
+
         @jax.jit
         def vel_fn(blocks, shell_state, body_states, point_sources, background,
                    sol, r_trg, time):
@@ -472,6 +475,7 @@ class System:
             fib_caches = []
             if blocks:
                 f_parts = []
+                motor_on = (time >= delay).astype(r_trg.dtype)
                 for b, op, xb in zip(blocks, ops, fs.split_solution(blocks, sol[:F])):
                     c0, c1 = ff.sbt_constants(b, eta)
                     xs, xss, *_ = ff.derivatives(b, op)
@@ -479,6 +483,12 @@ class System:
                     Fop = ff.assemble_force_operator(b, op, xs, xss)
                     f = jnp.einsum("brc,bc->br", Fop, xb.reshape(b.n_fibers, -1))
                     f = f.reshape(b.n_fibers, 3, b.n_nodes).transpose(0, 2, 1)
+                    # the motor force drives the fluid too. DELIBERATE
+                    # DEVIATION: the reference's velocity_at_targets drops all
+                    # external/motor forces from the analysis flow (its own
+                    # FIXME at system.cpp:344-349); a motor-driven free fiber
+                    # would spuriously show zero far field there
+                    f = f + motor_on * b.force_scale[:, None, None] * xs
                     if interaction:
                         skip = b.minus_clamped | (b.binding_body >= 0)
                         if shell_shape == "sphere":
@@ -521,6 +531,18 @@ class System:
                     rigid_u = s.velocity[None, :] + jnp.cross(
                         jnp.broadcast_to(s.angular_velocity, dx.shape), dx)
                     u = jnp.where(inside[:, None], rigid_u, u)
+            if has_bodies:
+                # external forces/torques reach the fluid as center
+                # stokeslets/rotlets (same as the solve path; the reference
+                # computes these in velocity_at_targets but never adds them)
+                ext_ft = bcont.external_forces_torques(body_states, force_types,
+                                                       time)
+                centers = jnp.stack([s.position for s in body_states])
+                from skellysim_tpu.kernels.reference import (rotlet_apply,
+                                                             stokeslet_apply)
+
+                u = u + stokeslet_apply(centers, ext_ft[:, :3], r_trg, eta)
+                u = u + rotlet_apply(centers, ext_ft[:, 3:], r_trg, eta)
             if has_points:
                 u = u + point_sources.flow(r_trg, eta, time)
             if has_background:

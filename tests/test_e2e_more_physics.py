@@ -127,3 +127,31 @@ def test_dual_filament_hydrodynamic_coupling(sim_dir):
     assert x1_tip > 1.0, "neighbor should be pushed toward +x by the flow"
     assert abs(x0_tip - (-0.004766)) < 2e-3
     assert abs(x1_tip - 1.004865) < 2e-3
+
+
+def test_motor_driven_fiber_flow_visible_in_analysis():
+    """The analysis velocity field must include the motor force: a free
+    fiber pulled tangentially exerts its full motor force on the fluid, so
+    the far field is the total-force stokeslet ~F/(8πηr). (DELIBERATE
+    DEVIATION: the reference drops external/motor forces in
+    velocity_at_targets — its own FIXME at system.cpp:344-349 — and would
+    report zero flow here.)"""
+    from skellysim_tpu.config import Config, Fiber
+    from skellysim_tpu.system.system import System
+
+    cfg = Config()
+    cfg.params.dt_initial = 1e-2
+    cfg.params.gmres_tol = 1e-10
+    fib = Fiber(force_scale=0.5, length=1.0, n_nodes=16,
+                bending_rigidity=0.0025)
+    fib.fill_node_positions(np.array([0.0, 0.0, 0.0]),
+                            np.array([0.0, 0.0, 1.0]))
+    cfg.fibers = [fib]
+    system = System(cfg.to_dict())
+    system.step()
+    v = system.velocity_at_targets(np.array([[0.0, 0.0, 2.0]]))
+    # total force F = force_scale·L = 0.5; |u| at r=1.5 above the tip within
+    # a factor ~2 of the point-force estimate F/(8πη·1.5)
+    est = 0.5 / (8 * np.pi * 1.5)
+    assert 0.5 * est < abs(v[0, 2]) < 3.0 * est
+    assert v[0, 2] > 0  # co-moving with the pull direction
