@@ -20,7 +20,9 @@ from skellysim_tpu.analysis.client import (Listener, Request,
 listener = Listener(config_file="skelly_config.toml")
 try:
     # velocity field on a probe grid around the fiber
-    g = np.linspace(-1.0, 1.0, 5)
+    # offset the grid off the fiber axis (probes on the centerline sit at
+    # the 1/r singularity of the slender-body kernel)
+    g = np.linspace(-1.0, 1.0, 5) + 0.13
     X, Y, Z = np.meshgrid(g, g, g + 0.5, indexing="ij")
     probes = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
     # find the last frame (frame 0 predates the first solve: zero flow)

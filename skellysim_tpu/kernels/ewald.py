@@ -302,6 +302,22 @@ def _window_1d(frac: jax.Array, support: int, sigma_h: float, dtype):
     return w / jnp.sum(w, axis=1, keepdims=True)
 
 
+def _es_phi(t, beta):
+    """Raw ES window φ(t) = e^{β(√(1−t²)−1)} for |t| < 1, else 0."""
+    inside = jnp.abs(t) < 1.0
+    arg = jnp.sqrt(jnp.where(inside, 1.0 - t * t, 0.0))
+    return jnp.where(inside, jnp.exp(beta * (arg - 1.0)), 0.0)
+
+
+def _window_normalizer(frac, support, dtype):
+    """Σ_n φ(n−frac) over the point's own W taps (the _window_1d divisor)."""
+    beta = _es_beta(support)
+    half = support / 2.0
+    offs = jnp.arange(support, dtype=dtype) - (support // 2)
+    return jnp.sum(_es_phi((offs[None, :] - frac[:, None]) / half, beta),
+                   axis=1)
+
+
 def _flat_window(points, lo, h, sigma, grid_shape, support, dtype):
     """Flat (N, W³) grid indices + combined window weights.
 
@@ -330,9 +346,35 @@ def _flat_window(points, lo, h, sigma, grid_shape, support, dtype):
     return flat, w3
 
 
+def _bin_by_key(key, n_bins: int, cap: int, payloads):
+    """Pad points into (n_bins, cap, …) bins WITHOUT scatters.
+
+    Sort by key, locate each bin's slice with searchsorted, and GATHER the
+    first ``cap`` entries per bin — sort/searchsorted/take only, so it runs
+    on backends whose scatter lowering is missing (the axon TPU). Returns
+    [(n_bins, cap, …) arrays], one per (payload, fill) pair; overflow beyond
+    ``cap`` is dropped.
+    """
+    n = key.shape[0]
+    order = jnp.argsort(key)
+    key_s = key[order]
+    bounds = jnp.searchsorted(key_s, jnp.arange(n_bins + 1, dtype=key.dtype))
+    starts, ends = bounds[:-1], bounds[1:]
+    slot = jnp.arange(cap, dtype=starts.dtype)
+    idx = starts[:, None] + slot[None, :]            # (n_bins, cap)
+    valid = idx < ends[:, None]
+    idx_c = jnp.clip(idx, 0, n - 1)
+    outs = []
+    for pay, fill in payloads:
+        g = pay[order][idx_c]                        # (n_bins, cap, …)
+        mask = valid[(...,) + (None,) * (g.ndim - 2)]
+        outs.append(jnp.where(mask, g, fill))
+    return outs
+
+
 @partial(jax.jit, static_argnames=("grid_shape", "support"))
-def _spread(points, values, lo, h, sigma, grid_shape, support):
-    """Spread (N, C) strengths onto C grids (C static)."""
+def _spread_scatter(points, values, lo, h, sigma, grid_shape, support):
+    """Scatter-add spreading (the textbook NUFFT formulation)."""
     dtype = values.dtype
     flat, w3 = _flat_window(points, lo, h, sigma, grid_shape, support, dtype)
     G = grid_shape[0] * grid_shape[1] * grid_shape[2]
@@ -341,6 +383,89 @@ def _spread(points, values, lo, h, sigma, grid_shape, support):
         gc = jnp.zeros(G, dtype).at[flat].add(w3 * values[:, c, None])
         grids.append(gc.reshape(grid_shape))
     return jnp.stack(grids)
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "support", "tile", "cap"))
+def _spread(points, values, lo, h, sigma, grid_shape, support,
+            tile: int = 8, cap: int = 128):
+    """Gather-formulated spreading: every grid TILE gathers from the points
+    binned into its 27 neighbor tiles and contracts their separable window
+    values as one (T³ × p)·(p × C) matmul.
+
+    Mathematically identical to ``_spread_scatter`` (same normalized window,
+    same support — φ vanishes for |t| ≥ 1), but contains no scatter-add:
+    TPU-executable (the axon backend lacks large scatters) and parallel on
+    every backend. Tile reach: one 27-neighborhood covers windows up to
+    W ≤ 2·tile − 1. ``cap`` bounds points per tile of tile³ cells; overflow
+    drops the tail (size generously: default 128 ≫ typical occupancy).
+    """
+    del sigma
+    dtype = values.dtype
+    N, C = values.shape
+    T = int(tile)
+    beta = _es_beta(support)
+    half = support / 2.0
+    nt = tuple(-(-g // T) for g in grid_shape)          # tiles per dim
+    n_tiles = nt[0] * nt[1] * nt[2]
+
+    rel = (points - lo[None, :]) / h                    # cell coordinates
+    base = jnp.floor(rel + 0.5).astype(jnp.int32)
+    frac = (rel - base.astype(dtype)).astype(dtype)
+    Z = (_window_normalizer(frac[:, 0], support, dtype)
+         * _window_normalizer(frac[:, 1], support, dtype)
+         * _window_normalizer(frac[:, 2], support, dtype))
+    val_n = values / Z[:, None]
+
+    ti = jnp.clip(base // T, 0, jnp.asarray([nt[0] - 1, nt[1] - 1, nt[2] - 1]))
+    key = (ti[:, 0] * nt[1] + ti[:, 1]) * nt[2] + ti[:, 2]
+    tile_rel, tile_val = _bin_by_key(key, n_tiles, cap,
+                                     [(rel, jnp.asarray(1e12, dtype)),
+                                      (val_n, jnp.asarray(0.0, dtype))])
+
+    t_lin = jnp.arange(n_tiles, dtype=jnp.int32)
+    t0 = t_lin // (nt[1] * nt[2])
+    t1 = (t_lin // nt[2]) % nt[1]
+    t2 = t_lin % nt[2]
+    offs_T = jnp.arange(T, dtype=dtype)
+
+    def one_tile_chunk(args):
+        c0, c1, c2 = args                               # (CH,) tile coords
+        acc = jnp.zeros((c0.shape[0], T * T * T, C), dtype)
+        gx = c0[:, None].astype(dtype) * T + offs_T[None, :]   # (CH, T)
+        gy = c1[:, None].astype(dtype) * T + offs_T[None, :]
+        gz = c2[:, None].astype(dtype) * T + offs_T[None, :]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    ni = jnp.clip(c0 + dx, 0, nt[0] - 1)
+                    nj = jnp.clip(c1 + dy, 0, nt[1] - 1)
+                    nk = jnp.clip(c2 + dz, 0, nt[2] - 1)
+                    valid = ((c0 + dx == ni) & (c1 + dy == nj)
+                             & (c2 + dz == nk))
+                    nkey = (ni * nt[1] + nj) * nt[2] + nk
+                    pr = tile_rel[nkey]                 # (CH, cap, 3)
+                    pv = tile_val[nkey]                 # (CH, cap, C)
+                    wx = _es_phi((gx[:, None, :] - pr[:, :, 0:1]) / half, beta)
+                    wy = _es_phi((gy[:, None, :] - pr[:, :, 1:2]) / half, beta)
+                    wz = _es_phi((gz[:, None, :] - pr[:, :, 2:3]) / half, beta)
+                    w3 = (wx[:, :, :, None, None] * wy[:, :, None, :, None]
+                          * wz[:, :, None, None, :]).reshape(
+                              c0.shape[0], cap, T * T * T)
+                    w3 = jnp.where(valid[:, None, None], w3, 0.0)
+                    acc = acc + jnp.einsum("bpg,bpc->bgc", w3, pv)
+        return acc
+
+    CH = 16
+    pad = (-n_tiles) % CH
+    tp = [jnp.pad(t, (0, pad)) for t in (t0, t1, t2)]
+    out = jax.lax.map(one_tile_chunk,
+                      tuple(t.reshape(-1, CH) for t in tp))   # (n/CH, CH, T³, C)
+    out = out.reshape(n_tiles + pad, T, T, T, C)[:n_tiles]
+    out = out.reshape(*nt, T, T, T, C)
+    out = out.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+        nt[0] * T, nt[1] * T, nt[2] * T, C)
+    out = out[:grid_shape[0], :grid_shape[1], :grid_shape[2]]
+    return jnp.moveaxis(out, -1, 0)
 
 
 @partial(jax.jit, static_argnames=("support",))
@@ -363,9 +488,16 @@ def _far_convolve(grids, khat):
     return jnp.fft.irfftn(u, s=grids.shape[1:], axes=(1, 2, 3)).astype(grids.dtype)
 
 
+def _spread_impl():
+    """Scatter-add on CPU (fast there, and XLA:CPU serializes the gather
+    path's tile map); gather-matmul on accelerators (the axon TPU backend
+    lacks large scatters, and tile matmuls are MXU-native)."""
+    return (_spread_scatter if jax.default_backend() == "cpu" else _spread)
+
+
 def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg):
-    grids = _spread(r_src, f_src, grid.lo, grid.h, grid.sigma,
-                    grid.shape, grid.support)
+    grids = _spread_impl()(r_src, f_src, grid.lo, grid.h, grid.sigma,
+                           grid.shape, grid.support)
     u_grids = _far_convolve(grids, grid.khat)
     # the tabulated kernel carries the h³ quadrature of the convolution
     return _interp(u_grids, r_trg, grid.lo, grid.h, grid.sigma, grid.support)
@@ -408,8 +540,8 @@ def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg):
                    S[:, 1, 1],
                    0.5 * (S[:, 1, 2] + S[:, 2, 1]),
                    S[:, 2, 2]], axis=1)
-    D_grids = _spread(r_src, D, grid.lo, grid.h, grid.sigma,
-                      grid.shape, grid.support)
+    D_grids = _spread_impl()(r_src, D, grid.lo, grid.h, grid.sigma,
+                             grid.shape, grid.support)
     u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,
                                       grid.shape, grid.support, grid.h)
     return _interp(u_grids, r_trg, grid.lo, grid.h, grid.sigma, grid.support)
@@ -435,23 +567,10 @@ def _near_apply(r_src, f_src, r_trg, lo, cell_size, n_cells_xyz, cap, a,
     ci = jnp.clip(((r_src - lo[None, :]) / cell_size).astype(jnp.int32),
                   0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
     key = (ci[:, 0] * ny + ci[:, 1]) * nz + ci[:, 2]
-    order = jnp.argsort(key)
-    key_s = key[order]
-    r_s = r_src[order]
-    f_s = f_src[order]
-    # rank within cell
-    counts = jnp.zeros(n_cells, jnp.int32).at[key_s].add(1)
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(key_s.shape[0], dtype=jnp.int32) - starts[key_s]
-    slot_ok = rank < cap
-    slot = jnp.where(slot_ok, rank, cap - 1)
-    # padded per-cell stores
-    F = f_src.shape[1]
-    cell_r = jnp.full((n_cells, cap, 3), 1e15, dtype)
-    cell_f = jnp.zeros((n_cells, cap, F), dtype)
-    cell_r = cell_r.at[key_s, slot].set(jnp.where(slot_ok[:, None], r_s, 1e15))
-    cell_f = cell_f.at[key_s, slot].set(jnp.where(slot_ok[:, None], f_s, 0.0))
+    # padded per-cell stores, built scatter-free
+    cell_r, cell_f = _bin_by_key(key, n_cells, cap,
+                                 [(r_src, jnp.asarray(1e15, dtype)),
+                                  (f_src, jnp.asarray(0.0, dtype))])
 
     # neighbor table (27 per cell), clipped at the box faces
     cx = jnp.arange(nx)

@@ -95,7 +95,8 @@ class Shell:
         return Shell(state, shape=shape, radius=radius, abc=abc)
 
 
-def newton_schulz_inverse(A: jax.Array, iters: int = 60) -> jax.Array:
+def newton_schulz_inverse(A: jax.Array, iters: int = 60,
+                          precise_iters: int = 16) -> jax.Array:
     """Matmul-only dense inverse: X_{k+1} = X_k (2I − A X_k).
 
     Globally convergent from X₀ = Aᵀ/(‖A‖₁‖A‖∞) (Pan–Schreiber); column
@@ -103,6 +104,13 @@ def newton_schulz_inverse(A: jax.Array, iters: int = 60) -> jax.Array:
     diagonal-dominated second-kind shell operator. Pure matmuls — MXU work —
     which sidesteps XLA's TPU LU panel-size limits at large N and is how the
     device-side precompute inverts the periphery operator.
+
+    Precision phasing: the first iters − precise_iters steps run at the
+    backend's fast matmul precision (bf16 passes on TPU ≈ 6× faster). NS is
+    self-correcting — quadratic local convergence scrubs the plateau-phase
+    rounding — so only the last ``precise_iters`` steps need full precision.
+    (X₀ = I is NOT safe here: ρ(I − AD⁻¹) > 1 for these operators and the
+    iteration diverges violently — measured, not hypothetical.)
     """
     n = A.shape[0]
     d = jnp.diagonal(A)
@@ -116,7 +124,11 @@ def newton_schulz_inverse(A: jax.Array, iters: int = 60) -> jax.Array:
     def body(_, X):
         return X @ (eye2 - B @ X)
 
-    X = jax.lax.fori_loop(0, iters, body, X)
+    fast = max(iters - precise_iters, 0)
+    if fast:
+        with jax.default_matmul_precision("default"):
+            X = jax.lax.fori_loop(0, fast, body, X)
+    X = jax.lax.fori_loop(0, iters - fast, body, X)
     return (X / d[:, None])     # D⁻¹ (A D⁻¹)⁻¹ = A⁻¹
 
 

@@ -462,7 +462,6 @@ class System:
         if p.pair_evaluator == "ewald":
             ev_stk, ev_str = self._ewald_evaluators()
 
-        delay = p.implicit_motor_activation_delay
         force_types = tuple(self.bodies.force_types())
 
         @jax.jit
@@ -475,7 +474,6 @@ class System:
             fib_caches = []
             if blocks:
                 f_parts = []
-                motor_on = (time >= delay).astype(r_trg.dtype)
                 for b, op, xb in zip(blocks, ops, fs.split_solution(blocks, sol[:F])):
                     c0, c1 = ff.sbt_constants(b, eta)
                     xs, xss, *_ = ff.derivatives(b, op)
@@ -483,12 +481,12 @@ class System:
                     Fop = ff.assemble_force_operator(b, op, xs, xss)
                     f = jnp.einsum("brc,bc->br", Fop, xb.reshape(b.n_fibers, -1))
                     f = f.reshape(b.n_fibers, 3, b.n_nodes).transpose(0, 2, 1)
-                    # the motor force drives the fluid too. DELIBERATE
-                    # DEVIATION: the reference's velocity_at_targets drops all
-                    # external/motor forces from the analysis flow (its own
-                    # FIXME at system.cpp:344-349); a motor-driven free fiber
-                    # would spuriously show zero far field there
-                    f = f + motor_on * b.force_scale[:, None, None] * xs
+                    # NOTE the motor force is deliberately NOT radiated here,
+                    # matching the solve: the reference treats motor forcing
+                    # as internal (its direct flow is never given to the
+                    # shell RHS either — "explicitly handled elsewhere",
+                    # system.cpp:424); adding it only in analysis would break
+                    # wall no-slip consistency with the solved shell density
                     if interaction:
                         skip = b.minus_clamped | (b.binding_body >= 0)
                         if shell_shape == "sphere":

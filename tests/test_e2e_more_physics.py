@@ -129,13 +129,13 @@ def test_dual_filament_hydrodynamic_coupling(sim_dir):
     assert abs(x1_tip - 1.004865) < 2e-3
 
 
-def test_motor_driven_fiber_flow_visible_in_analysis():
-    """The analysis velocity field must include the motor force: a free
-    fiber pulled tangentially exerts its full motor force on the fluid, so
-    the far field is the total-force stokeslet ~F/(8πηr). (DELIBERATE
-    DEVIATION: the reference drops external/motor forces in
-    velocity_at_targets — its own FIXME at system.cpp:344-349 — and would
-    report zero flow here.)"""
+def test_motor_force_not_radiated_in_analysis():
+    """Motor forcing is modeled as INTERNAL: its direct stokeslet is never
+    given to the shell RHS in the solve (reference system.cpp:424
+    "explicitly handled elsewhere"), so the analysis flow must exclude it
+    too — otherwise wall no-slip breaks against the solved shell density.
+    A free straight motor-driven fiber therefore shows (near-)zero far
+    field: only elastic/tension forces radiate, and they vanish here."""
     from skellysim_tpu.config import Config, Fiber
     from skellysim_tpu.system.system import System
 
@@ -150,8 +150,4 @@ def test_motor_driven_fiber_flow_visible_in_analysis():
     system = System(cfg.to_dict())
     system.step()
     v = system.velocity_at_targets(np.array([[0.0, 0.0, 2.0]]))
-    # total force F = force_scale·L = 0.5; |u| at r=1.5 above the tip within
-    # a factor ~2 of the point-force estimate F/(8πη·1.5)
-    est = 0.5 / (8 * np.pi * 1.5)
-    assert 0.5 * est < abs(v[0, 2]) < 3.0 * est
-    assert v[0, 2] > 0  # co-moving with the pull direction
+    assert np.abs(v).max() < 1e-8
