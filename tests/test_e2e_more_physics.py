@@ -151,3 +151,34 @@ def test_motor_force_not_radiated_in_analysis():
     system.step()
     v = system.velocity_at_targets(np.array([[0.0, 0.0, 2.0]]))
     assert np.abs(v).max() < 1e-8
+
+
+def test_body_external_force_radiates_in_analysis(sim_dir):
+    """Body external forces DO reach the fluid in the solve (center
+    stokeslets in the RHS flow), so the analysis field must radiate them
+    too; far from the body it approaches the point-force stokeslet.
+    (The reference computes these in velocity_at_targets but never adds
+    them — dead variable at system.cpp:352.)"""
+    from skellysim_tpu.config import Body, Config
+    from skellysim_tpu.io import tomlio
+    from skellysim_tpu.precompute.main import precompute_body
+    from skellysim_tpu.system.system import System
+
+    config = Config()
+    config.params.eta = 0.9
+    config.params.dt_initial = 0.1
+    config.params.gmres_tol = 1e-11
+    config.bodies = [Body(shape="sphere", radius=0.5, n_nodes=400,
+                          position=[0.0, 0.0, 0.0],
+                          external_force=[0.0, 0.0, 1.5],
+                          precompute_file="body_precompute.npz")]
+    config.save("skelly_config.toml")
+    cfg = tomlio.load("skelly_config.toml")
+    precompute_body(cfg["bodies"][0])
+    system = System(cfg)
+    system.step()
+    r = 6.0
+    v = system.velocity_at_targets(np.array([[r, 0.0, 0.0]]))
+    # transverse stokeslet: u_z = F/(8πηr) at right angle to the force
+    want = 1.5 / (8 * np.pi * 0.9 * r)
+    assert abs(v[0, 2] / want - 1.0) < 0.1, (v, want)
