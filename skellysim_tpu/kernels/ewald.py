@@ -131,9 +131,12 @@ class EwaldGrid(NamedTuple):
     shape: tuple           # (3,) logical grid points
     sigma: float           # spreading-window std dev
     support: int           # window width in cells (odd)
-    khat: jax.Array        # (6, *fft_shape) deconvolved far-kernel spectrum
+    khat: jax.Array        # (2, 6, *fft_shape) far-kernel spectrum, stacked
+                           # [real, imag] floats (complex device transfers
+                           # are unimplemented on some backends; the complex
+                           # view is built on device)
     a: float
-    phihat: jax.Array = None  # (*fft_shape,) blob pressure potential spectrum
+    phihat: jax.Array = None  # (2, *fft_shape) blob pressure potential spectrum
 
 
 def _round_up_fft(n: int) -> int:
@@ -264,11 +267,12 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     khat = np.where(keep, khat / wk2s, 0.0)
     phihat = np.where(keep, phihat / wk2s, 0.0)
 
-    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    def _ri(z):
+        return jnp.asarray(np.stack([z.real, z.imag]), dtype)
+
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),
-                     khat=jnp.asarray(khat, cdtype), a=float(a),
-                     phihat=jnp.asarray(phihat, cdtype))
+                     khat=_ri(khat), a=float(a), phihat=_ri(phihat))
 
 
 def _es_beta(support: int) -> float:
@@ -479,7 +483,8 @@ def _interp(grids, points, lo, h, sigma, support):
 
 
 @jax.jit
-def _far_convolve(grids, khat):
+def _far_convolve(grids, khat_ri):
+    khat = jax.lax.complex(khat_ri[0], khat_ri[1])
     fhat = jnp.fft.rfftn(grids, axes=(1, 2, 3))
     ux = khat[0] * fhat[0] + khat[1] * fhat[1] + khat[2] * fhat[2]
     uy = khat[1] * fhat[0] + khat[3] * fhat[1] + khat[4] * fhat[2]
@@ -504,7 +509,7 @@ def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg):
 
 
 @partial(jax.jit, static_argnames=("shape", "support", "h"))
-def _far_stresslet_convolve(D_grids, khat, phihat, shape, support, h):
+def _far_stresslet_convolve(D_grids, khat_ri, phihat_ri, shape, support, h):
     """Far stresslet via the k-space derivative identity.
 
     With D̂ the 6 symmetric dipole-strength grids (xx,xy,xz,yy,yz,zz) and
@@ -514,6 +519,8 @@ def _far_stresslet_convolve(D_grids, khat, phihat, shape, support, h):
     D_jk. Spectral derivatives of the seam-tapered tabulation are exact to
     its (Gaussian-small) aliasing level.
     """
+    khat = jax.lax.complex(khat_ri[0], khat_ri[1])
+    phihat = jax.lax.complex(phihat_ri[0], phihat_ri[1])
     Dh = jnp.fft.rfftn(D_grids, axes=(1, 2, 3))
     rdt = D_grids.dtype
     kx = jnp.asarray(2 * np.pi * np.fft.fftfreq(shape[0], d=h), rdt)[:, None, None]
