@@ -155,6 +155,55 @@ def _round_up_fft(n: int) -> int:
     return best
 
 
+@partial(jax.jit, static_argnames=("a",))
+def _tabulate_spectra(a, axx, axy, axz, tx, ty, tz, wkx, wky, wkz):
+    """Device-side tabulation of the deconvolved far-kernel spectra.
+
+    All 3-D work (S_far/φ tabulation on the padded grid, the seam taper,
+    six+one rFFTs, window deconvolution) runs where the evaluator will run;
+    only the 1-D axis offsets, tapers, and window spectra are inputs. This
+    matters on remote accelerators: the stacked spectra are tens of MB,
+    the 1-D inputs are KB.
+    """
+    X = axx[:, None, None]
+    Y = axy[None, :, None]
+    Z = axz[None, None, :]
+    r2 = X * X + Y * Y + Z * Z
+    r = jnp.sqrt(r2)
+    rho = r / a
+    rsafe = jnp.where(r > 0, r, 1.0)
+    erf_term = jnp.where(rho < 1e-12, 1.0 / (4.0 * math.pi**1.5 * a),
+                         _INV_8PI * jax.lax.erf(rho) / rsafe)
+    gauss = jnp.exp(-rho * rho) * (_INV_4PI32 / a)
+    f = erf_term + gauss
+    g_r2 = (erf_term - gauss) / jnp.where(r2 > 0, r2, 1.0)
+    g_r2 = jnp.where(r2 > 0, g_r2, 0.0)
+    T3 = tx[:, None, None] * ty[None, :, None] * tz[None, None, :]
+    wk2 = (wkx[:, None, None] * wky[None, :, None] * wkz[None, None, :]) ** 2
+    # modes where the window has no support are unresolvable: zero them
+    # rather than amplifying into overflow
+    keep = jnp.abs(wk2) > 1e-9
+    wk2s = jnp.where(keep, wk2, 1.0)
+
+    def dec(Kc):
+        kh = jnp.fft.rfftn(Kc * T3)
+        return jnp.where(keep, kh / wk2s, 0.0)
+
+    # at r = 0: g → 0 smoothly, diagonal → f_far(0)
+    comps = [dec(f + g_r2 * X * X), dec(g_r2 * X * Y), dec(g_r2 * X * Z),
+             dec(f + g_r2 * Y * Y), dec(g_r2 * Y * Z), dec(f + g_r2 * Z * Z)]
+    khat = jnp.stack(comps)
+    # blob pressure potential φ = erf(ρ)/(4πr) + e^{−ρ²}/(4π^{3/2}a): the
+    # scalar completing the screened stresslet T_far = ∂S_far + ∂S_far
+    # + δ ∂φ (see stresslet_far_coeffs); φ(0) = 3/(4π^{3/2}a)
+    phi = jnp.where(rho < 1e-12, 3.0 / (4.0 * math.pi**1.5 * a),
+                    jax.lax.erf(rho) / (4.0 * math.pi * rsafe)
+                    + jnp.exp(-rho * rho) / (4.0 * math.pi**1.5 * a))
+    phihat = dec(phi)
+    return (jnp.stack([khat.real, khat.imag]),
+            jnp.stack([phihat.real, phihat.imag]))
+
+
 def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
                points_per_a: float = 2.5, support: int = None,
                dtype=jnp.float32) -> EwaldGrid:
@@ -162,7 +211,8 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
 
     The box [lo, hi] must contain all sources and targets (with the window
     half-width margin added here). One-time cost: tabulating S_far on the
-    2×-padded grid and six rFFTs.
+    2×-padded grid and six rFFTs — done ON DEVICE (only 1-D auxiliaries are
+    uploaded; the spectra themselves never cross the host↔device link).
     """
     h = a / points_per_a
     sigma = a / 4.0
@@ -179,38 +229,7 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     taper_cells = 22
     padded = tuple(_round_up_fft(2 * s + 2 * taper_cells) for s in shape)
 
-    # tabulate S_far components on the padded (aperiodic, wrapped) grid
-    from scipy.special import erf as _erf
-
     axes = [np.fft.fftfreq(p, d=1.0 / p) * h for p in padded]  # signed offsets
-    X, Y, Z = np.meshgrid(*axes, indexing="ij")
-    r2 = X * X + Y * Y + Z * Z
-    r = np.sqrt(r2)
-    rho = r / a
-    with np.errstate(invalid="ignore", divide="ignore"):
-        erf_term = np.where(rho < 1e-12, 1.0 / (4.0 * math.pi**1.5 * a),
-                            _INV_8PI * _erf(rho) / np.where(r > 0, r, 1.0))
-    gauss = np.exp(-rho * rho) * (_INV_4PI32 / a)
-    f = erf_term + gauss
-    g = erf_term - gauss
-    with np.errstate(invalid="ignore", divide="ignore"):
-        inv_r2 = np.where(r2 > 0, 1.0 / np.where(r2 > 0, r2, 1.0), 0.0)
-    Kxx = f + g * X * X * inv_r2
-    Kxy = g * X * Y * inv_r2
-    Kxz = g * X * Z * inv_r2
-    Kyy = f + g * Y * Y * inv_r2
-    Kyz = g * Y * Z * inv_r2
-    Kzz = f + g * Z * Z * inv_r2
-    # at r = 0: g → 0 smoothly, diagonal → f_far(0)
-    K = np.stack([Kxx, Kxy, Kxz, Kyy, Kyz, Kzz])
-
-    # blob pressure potential φ = erf(ρ)/(4πr) + e^{−ρ²}/(4π^{3/2}a): the
-    # scalar completing the screened stresslet T_far = ∂S_far + ∂S_far
-    # + δ ∂φ (see stresslet_far_coeffs); φ(0) = 3/(4π^{3/2}a)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        phi = np.where(rho < 1e-12, 3.0 / (4.0 * math.pi**1.5 * a),
-                       _erf(rho) / (4.0 * math.pi * np.where(r > 0, r, 1.0))
-                       + np.exp(-rho * rho) / (4.0 * math.pi**1.5 * a))
 
     # Occupied cells span at most shape_i−1 per dim, so kernel values at
     # larger per-dim offsets multiply empty cells — the circular convolution
@@ -221,19 +240,13 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     # the unused range removes the seam while changing no physical pair.
     from scipy.special import erfc as _erfc
     w_t = 2.2 * h
+    tapers = []
     for axis in range(3):
         off = axes[axis]
         lim = (shape[axis] - 1) * h
-        T = 0.5 * _erfc((np.abs(off) - lim - 5 * w_t) / w_t)
-        bshape = [1, 1, 1, 1]
-        bshape[axis + 1] = padded[axis]
-        K *= T.reshape(bshape)
-        phi *= T.reshape(bshape[1:])
+        tapers.append(0.5 * _erfc((np.abs(off) - lim - 5 * w_t) / w_t))
 
-    khat = np.fft.rfftn(K, axes=(1, 2, 3))
-    phihat = np.fft.rfftn(phi)
-    # deconvolve the two Gaussian windows: w(r) ∝ e^{−r²/(2σ²)}, normalized;
-    # its continuous transform is e^{−σ²k²/2}; gridded windows approximate it
+    # deconvolve the two spreading windows, evaluated on the k grid
     kx = 2 * np.pi * np.fft.fftfreq(padded[0], d=h)
     ky = 2 * np.pi * np.fft.fftfreq(padded[1], d=h)
     kz = 2 * np.pi * np.fft.rfftfreq(padded[2], d=h)
@@ -248,31 +261,27 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     # shows up verbatim in the deconvolved far field
     th = np.linspace(-np.pi / 2, np.pi / 2, 2001)
     xq = half * np.sin(th)
-    phi = np.exp(beta * (np.cos(th) - 1.0)) * half * np.cos(th)
+    phiq = np.exp(beta * (np.cos(th) - 1.0)) * half * np.cos(th)
     dth = th[1] - th[0]
 
     def wk_1d(k):
         # ŵ(k) normalized to ŵ(0) = 1
-        vals = (phi[None, :] * np.cos(np.outer(k * h, xq))).sum(axis=1) * dth
+        vals = (phiq[None, :] * np.cos(np.outer(k * h, xq))).sum(axis=1) * dth
         return vals / vals.max()
 
-    wx = wk_1d(kx)
-    wy = wk_1d(ky)
-    wz = wk_1d(kz)
-    wk2 = (wx[:, None, None] * wy[None, :, None] * wz[None, None, :]) ** 2
-    # modes where the window has no support are unresolvable: zero them
-    # rather than amplifying into overflow
-    keep = np.abs(wk2) > 1e-9
-    wk2s = np.where(keep, wk2, 1.0)
-    khat = np.where(keep, khat / wk2s, 0.0)
-    phihat = np.where(keep, phihat / wk2s, 0.0)
-
-    def _ri(z):
-        return jnp.asarray(np.stack([z.real, z.imag]), dtype)
+    # tabulate in f64 where the backend has it (CPU oracle runs), f32 on TPU
+    comp = (jnp.float64 if (jax.config.jax_enable_x64
+                            and jax.default_backend() == "cpu")
+            else jnp.float32)
+    one_d = [axes[0], axes[1], axes[2], tapers[0], tapers[1], tapers[2],
+             wk_1d(kx), wk_1d(ky), wk_1d(kz)]
+    khat_ri, phihat_ri = _tabulate_spectra(
+        float(a), *(jnp.asarray(v, comp) for v in one_d))
 
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),
-                     khat=_ri(khat), a=float(a), phihat=_ri(phihat))
+                     khat=khat_ri.astype(dtype), a=float(a),
+                     phihat=phihat_ri.astype(dtype))
 
 
 def _es_beta(support: int) -> float:
@@ -657,8 +666,9 @@ class EwaldStokeslet:
 
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
-                 dtype=jnp.float32):
-        self.grid = build_grid(lo, hi, a, points_per_a, support, dtype)
+                 dtype=jnp.float32, grid: EwaldGrid = None):
+        self.grid = (grid if grid is not None
+                     else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
         self.cap = int(cap)
@@ -697,8 +707,9 @@ class EwaldStresslet:
 
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
-                 dtype=jnp.float32):
-        self.grid = build_grid(lo, hi, a, points_per_a, support, dtype)
+                 dtype=jnp.float32, grid: EwaldGrid = None):
+        self.grid = (grid if grid is not None
+                     else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
         self.cap = int(cap)

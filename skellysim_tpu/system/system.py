@@ -207,7 +207,7 @@ class System:
                   points_per_a=self.params.ewald_points_per_a,
                   cap=self.params.ewald_cap, dtype=self.dtype)
         stk = EwaldStokeslet(**kw)
-        st = EwaldStresslet(**kw)
+        st = EwaldStresslet(grid=stk.grid, **kw)
         logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s",
                     np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape)
         self._ewald_pair = (
