@@ -468,7 +468,7 @@ def _spread(points, values, lo, h, sigma, grid_shape, support,
                     acc = acc + jnp.einsum("bpg,bpc->bgc", w3, pv)
         return acc
 
-    CH = 16
+    CH = 64
     pad = (-n_tiles) % CH
     tp = [jnp.pad(t, (0, pad)) for t in (t0, t1, t2)]
     out = jax.lax.map(one_tile_chunk,
@@ -482,13 +482,114 @@ def _spread(points, values, lo, h, sigma, grid_shape, support,
 
 
 @partial(jax.jit, static_argnames=("support",))
-def _interp(grids, points, lo, h, sigma, support):
+def _interp_gather(grids, points, lo, h, sigma, support):
+    """Flat-gather interpolation (fast on CPU; element gathers crawl on TPU)."""
     dtype = grids.dtype
     grid_shape = grids.shape[1:]
     flat, w3 = _flat_window(points, lo, h, sigma, grid_shape, support, dtype)
     flat_grids = grids.reshape(3, -1)
     vals = flat_grids[:, flat]                      # (3, N, W³)
     return jnp.einsum("cnw,nw->nc", vals, w3)
+
+
+@partial(jax.jit, static_argnames=("support", "tile", "cap"))
+def _interp_tiled(grids, points, lo, h, sigma, support,
+                  tile: int = 8, cap: int = 128):
+    """Tile-gather interpolation: bin points by the grid TILE containing
+    them; each tile's points read the 27 neighbor tiles of the grid as
+    contiguous blocks and contract the separable window as matmuls — no
+    per-element random gather (which runs at ~ns/element on TPU: the former
+    far-field bottleneck). Mirrors ``_spread``'s structure; overflow beyond
+    ``cap`` points per tile drops the tail (size generously)."""
+    del sigma
+    dtype = grids.dtype
+    C = grids.shape[0]
+    gshape = grids.shape[1:]
+    T = int(tile)
+    N = points.shape[0]
+    beta = _es_beta(support)
+    half = support / 2.0
+    nt = tuple(-(-g // T) for g in gshape)
+    n_tiles = nt[0] * nt[1] * nt[2]
+    pads = [nt[i] * T - gshape[i] for i in range(3)]
+    gp = jnp.pad(grids, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2])))
+    blocked = (gp.reshape(C, nt[0], T, nt[1], T, nt[2], T)
+               .transpose(1, 3, 5, 0, 2, 4, 6)
+               .reshape(n_tiles, C, T * T * T))
+
+    rel = (points - lo[None, :]) / h
+    base = jnp.floor(rel + 0.5).astype(jnp.int32)
+    frac = (rel - base.astype(dtype)).astype(dtype)
+    Z = (_window_normalizer(frac[:, 0], support, dtype)
+         * _window_normalizer(frac[:, 1], support, dtype)
+         * _window_normalizer(frac[:, 2], support, dtype))
+    ti = jnp.clip(base // T, 0, jnp.asarray([nt[0] - 1, nt[1] - 1, nt[2] - 1]))
+    key = (ti[:, 0] * nt[1] + ti[:, 1]) * nt[2] + ti[:, 2]
+
+    # scatter-free binning with an inverse map: after the per-bin compute,
+    # each point GATHERS its own (bin, slot) result back
+    order = jnp.argsort(key)
+    key_s = key[order]
+    bounds = jnp.searchsorted(key_s, jnp.arange(n_tiles + 1, dtype=key.dtype))
+    starts, ends = bounds[:-1], bounds[1:]
+    slot_r = jnp.arange(cap, dtype=starts.dtype)
+    idx = starts[:, None] + slot_r[None, :]
+    valid = idx < ends[:, None]
+    idx_c = jnp.clip(idx, 0, N - 1)
+    tile_rel = jnp.where(valid[..., None], rel[order][idx_c],
+                         jnp.asarray(1e12, dtype))       # (n_tiles, cap, 3)
+
+    t_lin = jnp.arange(n_tiles, dtype=jnp.int32)
+    t0 = t_lin // (nt[1] * nt[2])
+    t1 = (t_lin // nt[2]) % nt[1]
+    t2 = t_lin % nt[2]
+    offs_T = jnp.arange(T, dtype=dtype)
+
+    def one_tile_chunk(args):
+        c0, c1, c2 = args
+        pr = tile_rel[(c0 * nt[1] + c1) * nt[2] + c2]     # (CH, cap, 3)
+        acc = jnp.zeros((c0.shape[0], cap, C), dtype)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    ni = jnp.clip(c0 + dx, 0, nt[0] - 1)
+                    nj = jnp.clip(c1 + dy, 0, nt[1] - 1)
+                    nk = jnp.clip(c2 + dz, 0, nt[2] - 1)
+                    valid_n = ((c0 + dx == ni) & (c1 + dy == nj)
+                               & (c2 + dz == nk))
+                    gx = ni[:, None].astype(dtype) * T + offs_T[None, :]
+                    gy = nj[:, None].astype(dtype) * T + offs_T[None, :]
+                    gz = nk[:, None].astype(dtype) * T + offs_T[None, :]
+                    gt = blocked[(ni * nt[1] + nj) * nt[2] + nk]  # (CH, C, T³)
+                    wx = _es_phi((gx[:, None, :] - pr[:, :, 0:1]) / half, beta)
+                    wy = _es_phi((gy[:, None, :] - pr[:, :, 1:2]) / half, beta)
+                    wz = _es_phi((gz[:, None, :] - pr[:, :, 2:3]) / half, beta)
+                    w3 = (wx[:, :, :, None, None] * wy[:, :, None, :, None]
+                          * wz[:, :, None, None, :]).reshape(
+                              c0.shape[0], cap, T * T * T)
+                    w3 = jnp.where(valid_n[:, None, None], w3, 0.0)
+                    acc = acc + jnp.einsum("bpg,bcg->bpc", w3, gt)
+        return acc
+
+    CH = 64
+    pad = (-n_tiles) % CH
+    tp = [jnp.pad(t, (0, pad)) for t in (t0, t1, t2)]
+    out = jax.lax.map(one_tile_chunk,
+                      tuple(t.reshape(-1, CH) for t in tp))  # (n/CH, CH, cap, C)
+    out = out.reshape(n_tiles + pad, cap, C)[:n_tiles]
+
+    # inverse map: point p sits at sorted rank s → slot s − starts[key[p]]
+    ranks = jnp.argsort(order)
+    slot = ranks - starts[key]
+    u = out[key, jnp.clip(slot, 0, cap - 1)]               # (N, C)
+    u = jnp.where((slot < cap)[:, None], u, 0.0)
+    return u / Z[:, None]
+
+
+def _interp(grids, points, lo, h, sigma, support):
+    if jax.default_backend() == "cpu":
+        return _interp_gather(grids, points, lo, h, sigma, support)
+    return _interp_tiled(grids, points, lo, h, sigma, support)
 
 
 @jax.jit
@@ -679,6 +780,25 @@ class EwaldStokeslet:
                              for i in range(3))
         self.dtype = dtype
 
+    def spectra(self):
+        """The large device buffers, as a pytree for threading through an
+        outer jit as ARGUMENTS. Closing over them instead embeds tens of MB
+        of constants in the HLO — remote compile services reject the payload
+        (HTTP 413 on the tunneled TPU) and every backend bloats."""
+        return {"khat": self.grid.khat, "phihat": self.grid.phihat}
+
+    def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0):
+        """``apply`` with the spectra passed explicitly (see ``spectra``)."""
+        dt = self.dtype
+        grid = self.grid._replace(khat=spectra["khat"],
+                                  phihat=spectra["phihat"])
+        u_far = far_field_apply(grid, r_src.astype(dt), f_src.astype(dt),
+                                r_trg.astype(dt))
+        u_near = _near_apply(r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
+                             jnp.asarray(self.lo, dt), self.cell,
+                             self.n_cells, self.cap, self.a)
+        return ((u_far + u_near) / eta).astype(r_trg.dtype)
+
     def apply(self, r_src, f_src, r_trg, eta=1.0, n_self: int = 0):
         """Velocity at targets; coincident pairs contribute zero
         (dense-evaluator semantics — the near-field pass cancels the grid's
@@ -686,13 +806,7 @@ class EwaldStokeslet:
         accepted for backward compatibility and ignored.
         """
         del n_self
-        dt = self.dtype
-        u_far = far_field_apply(self.grid, r_src.astype(dt), f_src.astype(dt),
-                                r_trg.astype(dt))
-        u_near = _near_apply(r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
-                             jnp.asarray(self.lo, dt), self.cell,
-                             self.n_cells, self.cap, self.a)
-        return ((u_far + u_near) / eta).astype(r_trg.dtype)
+        return self.apply_with(self.spectra(), r_src, f_src, r_trg, eta)
 
 
 class EwaldStresslet:
@@ -720,11 +834,16 @@ class EwaldStresslet:
                              for i in range(3))
         self.dtype = dtype
 
-    def apply(self, r_src, S, r_trg, eta=1.0):
-        """Velocity at targets from stresslet densities S (N,3,3) — the
-        dense ``stresslet_apply`` signature."""
+    def spectra(self):
+        """See ``EwaldStokeslet.spectra``."""
+        return {"khat": self.grid.khat, "phihat": self.grid.phihat}
+
+    def apply_with(self, spectra, r_src, S, r_trg, eta=1.0):
+        """``apply`` with the spectra passed explicitly (see ``spectra``)."""
         dt = self.dtype
-        u_far = far_stresslet_apply(self.grid, r_src.astype(dt),
+        grid = self.grid._replace(khat=spectra["khat"],
+                                  phihat=spectra["phihat"])
+        u_far = far_stresslet_apply(grid, r_src.astype(dt),
                                     S.astype(dt), r_trg.astype(dt))
         payload = S.reshape(S.shape[0], 9).astype(dt)
         u_near = _near_apply(r_src.astype(dt), payload, r_trg.astype(dt),
@@ -732,3 +851,8 @@ class EwaldStresslet:
                              self.n_cells, self.cap, self.a,
                              kernel="stresslet")
         return ((u_far + u_near) / (2.0 * eta)).astype(r_trg.dtype)
+
+    def apply(self, r_src, S, r_trg, eta=1.0):
+        """Velocity at targets from stresslet densities S (N,3,3) — the
+        dense ``stresslet_apply`` signature."""
+        return self.apply_with(self.spectra(), r_src, S, r_trg, eta)

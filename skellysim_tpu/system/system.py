@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import logging
 import time as _walltime
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -170,16 +171,21 @@ class System:
     def fiber_solution_size(self) -> int:
         return self.fibers.solution_size
 
-    def _ewald_evaluators(self):
-        """Build (stokeslet, stresslet) closures over a spectral-Ewald grid
-        sized to the system geometry — the linear-scaling far-field tier
-        standing in for the reference's FMM evaluator slot
-        (system.cpp evaluator selection; docs/farfield_plan.md).
+    def _ewald_objects(self):
+        """Build (stokeslet, stresslet) spectral-Ewald evaluators sized to
+        the system geometry — the linear-scaling far-field tier standing in
+        for the reference's FMM evaluator slot (system.cpp evaluator
+        selection; docs/farfield_plan.md).
 
         The grid box is FIXED at build time: geometry extent + 15% margin
         (or params.ewald_box). Confined systems stay inside; escaping
         sources/targets would alias, so prefer an explicit box for
         unconfined runs.
+
+        The spectra are NOT baked into the jitted step/velocity functions:
+        they are threaded through as arguments (``self._ewald_state``) so
+        outer jits never embed tens of MB of HLO constants (remote compile
+        services reject such payloads).
         """
         if getattr(self, "_ewald_pair", None) is not None:
             return self._ewald_pair
@@ -210,10 +216,8 @@ class System:
         st = EwaldStresslet(grid=stk.grid, **kw)
         logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s",
                     np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape)
-        self._ewald_pair = (
-            lambda r_src, f, r_trg, eta: stk.apply(r_src, f, r_trg, eta),
-            lambda r_src, S, r_trg, eta: st.apply(r_src, S, r_trg, eta),
-        )
+        self._ewald_pair = (stk, st)
+        self._ewald_state = stk.spectra()
         return self._ewald_pair
 
     def shell_solution_size(self) -> int:
@@ -268,13 +272,19 @@ class System:
         force_types = tuple(self.bodies.force_types())
         max_sites = self.bodies.max_sites()
         FS = F + Sz_shell
-        ev_stk, ev_str = select_evaluators(p.pair_evaluator)
-        if p.pair_evaluator == "ewald":
-            ev_stk, ev_str = self._ewald_evaluators()
+        ev_stk0, ev_str0 = select_evaluators(p.pair_evaluator)
+        use_ewald = p.pair_evaluator == "ewald"
+        if use_ewald:
+            ew_stk, ew_str = self._ewald_objects()
 
         @jax.jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
-                    dt, time):
+                    dt, time, ewald_state=None):
+            if use_ewald:
+                ev_stk = partial(ew_stk.apply_with, ewald_state)
+                ev_str = partial(ew_str.apply_with, ewald_state)
+            else:
+                ev_stk, ev_str = ev_stk0, ev_str0
             # --- boundary conditions (update_boundary_conditions) ---
             bc_minus = [jnp.where(b.minus_clamped | (b.binding_body >= 0), 1, 0)
                         for b in blocks]
@@ -458,18 +468,24 @@ class System:
         has_bodies = self.bodies.n_bodies > 0
         max_sites = self.bodies.max_sites()
         FS = F + self.shell_solution_size()
-        ev_stk, ev_str = select_evaluators(p.pair_evaluator)
-        if p.pair_evaluator == "ewald":
-            ev_stk, ev_str = self._ewald_evaluators()
+        ev_stk0, ev_str0 = select_evaluators(p.pair_evaluator)
+        use_ewald = p.pair_evaluator == "ewald"
+        if use_ewald:
+            ew_stk, ew_str = self._ewald_objects()
 
         force_types = tuple(self.bodies.force_types())
 
         @jax.jit
         def vel_fn(blocks, shell_state, body_states, point_sources, background,
-                   sol, r_trg, time):
+                   sol, r_trg, time, ewald_state=None):
             from skellysim_tpu.fibers import fd_fiber as ff
             from skellysim_tpu.body import rigid
 
+            if use_ewald:
+                ev_stk = partial(ew_stk.apply_with, ewald_state)
+                ev_str = partial(ew_str.apply_with, ewald_state)
+            else:
+                ev_stk, ev_str = ev_stk0, ev_str0
             u = jnp.zeros_like(r_trg)
             fib_caches = []
             if blocks:
@@ -553,12 +569,15 @@ class System:
     def velocity_at_targets(self, r_trg) -> np.ndarray:
         """(T, 3) velocity at targets from the current solution state."""
         shell_state = self.shell.state if self.shell else None
+        extra = ((self._ewald_state,)
+                 if self.params.pair_evaluator == "ewald" else ())
         u = self._velocity_fn(
             self.fibers.blocks, shell_state, self.bodies.states(),
             self.point_sources, self.background,
             jnp.asarray(self.curr_solution, self.dtype),
             jnp.asarray(r_trg, self.dtype),
             jnp.asarray(self.time, self.dtype),
+            *extra,
         )
         return np.asarray(u)
 
@@ -671,10 +690,13 @@ class System:
             self._velocity_fn = self._build_velocity_fn()
         t0 = _walltime.perf_counter()
         shell_state = self.shell.state if self.shell else None
+        extra = ((self._ewald_state,)
+                 if self.params.pair_evaluator == "ewald" else ())
         (blocks, new_shell, new_bodies, sol, err, resid, iters, conv) = self._step_fn(
             self.fibers.blocks, shell_state, self.bodies.states(),
             self.point_sources, self.background,
             jnp.asarray(self.dt, self.dtype), jnp.asarray(self.time, self.dtype),
+            *extra,
         )
         err = float(err)
         self.fibers.blocks = blocks

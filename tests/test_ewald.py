@@ -104,3 +104,20 @@ def test_ewald_stresslet_matches_dense():
                               points_per_a=3.0, dtype=jnp.float64, cap=256)
     got = np.asarray(es.apply(src, S, trg, eta))
     assert np.abs(got - want).max() / np.abs(want).max() < 3e-6
+
+
+def test_interp_tiled_matches_gather():
+    """The TPU tile-gather interpolation is the same operator as the flat
+    per-element gather (which is the CPU path)."""
+    rng = np.random.default_rng(5)
+    N = 1500
+    r = jnp.asarray(rng.uniform(0.2, 1.8, (N, 3)))
+    f = jnp.asarray(rng.normal(size=(N, 3)))
+    ew = ewald.EwaldStokeslet(lo=[0, 0, 0], hi=[2, 2, 2], a=0.15,
+                              dtype=jnp.float64)
+    g = ew.grid
+    grids = ewald._spread_scatter(r, f, g.lo, g.h, g.sigma, g.shape, g.support)
+    ug = ewald._far_convolve(grids, g.khat)
+    u1 = np.asarray(ewald._interp_gather(ug, r, g.lo, g.h, g.sigma, g.support))
+    u2 = np.asarray(ewald._interp_tiled(ug, r, g.lo, g.h, g.sigma, g.support))
+    assert np.abs(u1 - u2).max() < 1e-12 * (np.abs(u1).max() + 1)
