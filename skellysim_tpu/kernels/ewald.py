@@ -137,6 +137,7 @@ class EwaldGrid(NamedTuple):
                            # view is built on device)
     a: float
     phihat: jax.Array = None  # (2, *fft_shape) blob pressure potential spectrum
+    logical: tuple = None  # (3,) occupied (unpadded) grid extent
 
 
 def _round_up_fft(n: int) -> int:
@@ -281,7 +282,7 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),
                      khat=khat_ri.astype(dtype), a=float(a),
-                     phihat=phihat_ri.astype(dtype))
+                     phihat=phihat_ri.astype(dtype), logical=shape)
 
 
 def _es_beta(support: int) -> float:
@@ -398,87 +399,124 @@ def _spread_scatter(points, values, lo, h, sigma, grid_shape, support):
     return jnp.stack(grids)
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "support", "tile", "cap"))
-def _spread(points, values, lo, h, sigma, grid_shape, support,
-            tile: int = 8, cap: int = 128):
-    """Gather-formulated spreading: every grid TILE gathers from the points
-    binned into its 27 neighbor tiles and contracts their separable window
-    values as one (T³ × p)·(p × C) matmul.
+def _slab_bins(points, h, lo, Gx, cap, support, dtype):
+    """Scatter-free x-slab binning shared by slab spread/interp.
 
-    Mathematically identical to ``_spread_scatter`` (same normalized window,
-    same support — φ vanishes for |t| ≥ 1), but contains no scatter-add:
-    TPU-executable (the axon backend lacks large scatters) and parallel on
-    every backend. Tile reach: one 27-neighborhood covers windows up to
-    W ≤ 2·tile − 1. ``cap`` bounds points per tile of tile³ cells; overflow
-    drops the tail (size generously: default 128 ≫ typical occupancy).
+    Returns per-slab (Gx, cap) stores of rel_y, rel_z, fx (x-fraction from
+    the nearest node), the 1/Z window normalizer, plus the (order, starts,
+    key) triple for the gather-only inverse map. Empty slots carry rel=1e12,
+    which puts them outside every window's support: their φ values vanish
+    identically, so no masking is needed downstream."""
+    rel = (points - lo[None, :]) / h
+    base_x = jnp.floor(rel[:, 0] + 0.5).astype(jnp.int32)
+    fx = (rel[:, 0] - base_x.astype(dtype)).astype(dtype)
+    frac = rel - jnp.floor(rel + 0.5)
+    Z = (_window_normalizer(frac[:, 0].astype(dtype), support, dtype)
+         * _window_normalizer(frac[:, 1].astype(dtype), support, dtype)
+         * _window_normalizer(frac[:, 2].astype(dtype), support, dtype))
+    key = jnp.clip(base_x, 0, Gx - 1)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    bounds = jnp.searchsorted(key_s, jnp.arange(Gx + 1, dtype=key.dtype))
+    starts, ends = bounds[:-1], bounds[1:]
+    slot = jnp.arange(cap, dtype=starts.dtype)
+    idx = starts[:, None] + slot[None, :]
+    valid = idx < ends[:, None]
+    idx_c = jnp.clip(idx, 0, points.shape[0] - 1)
+    far = jnp.asarray(1e12, dtype)
+    rel_y = jnp.where(valid, rel[:, 1].astype(dtype)[order][idx_c], far)
+    rel_z = jnp.where(valid, rel[:, 2].astype(dtype)[order][idx_c], far)
+    fx_b = jnp.where(valid, fx[order][idx_c], far)
+    return rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c
+
+
+def _slab_cap(n_points: int, Gx: int) -> int:
+    """Per-x-slab point capacity: 8× the uniform mean, rounded to 128.
+    Overflow beyond the cap drops the tail (as in the cell-list near field);
+    8× headroom covers the clustering of fibers/surfaces in practice."""
+    return max(128, -(-8 * n_points // max(Gx, 1) // 128) * 128)
+
+
+@partial(jax.jit, static_argnames=("logical", "support"))
+def _spread_slab(points, values, lo, h, logical, support):
+    """Slab-matmul spreading — the MXU formulation of NUFFT type-1.
+
+    Points bin by their nearest x-plane ("slab"). The y/z windows are
+    evaluated DENSELY over the occupied grid extent: φ vanishes outside its
+    support, so the dense (cap, G) window matrix is automatically banded and
+    needs no index arithmetic. The whole spread then factors into, per
+    x-window offset d (W of them), one batched matmul over slabs:
+
+        plane[s] = (Wy ⊙ φx_d·v)ᵀ · Wz        ((C·Gy × cap) @ (cap × Gz))
+
+    accumulated into grid rows s+d — a STATIC slice shift-add, no scatter.
+    Total cost W·Gx·cap·(C·Gy)·Gz MACs in MXU-native shapes, ~100× less
+    work than a 27-neighbor tile gather at the same accuracy.
     """
-    del sigma
     dtype = values.dtype
     N, C = values.shape
-    T = int(tile)
+    Gx, Gy, Gz = logical
     beta = _es_beta(support)
     half = support / 2.0
-    nt = tuple(-(-g // T) for g in grid_shape)          # tiles per dim
-    n_tiles = nt[0] * nt[1] * nt[2]
+    W2 = support // 2
+    cap = _slab_cap(N, Gx)
+    rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c = _slab_bins(
+        points, h, lo, Gx, cap, support, dtype)
+    val_b = jnp.where(valid[..., None],
+                      (values / Z[:, None])[order][idx_c], 0.0)  # (Gx,cap,C)
 
-    rel = (points - lo[None, :]) / h                    # cell coordinates
-    base = jnp.floor(rel + 0.5).astype(jnp.int32)
-    frac = (rel - base.astype(dtype)).astype(dtype)
-    Z = (_window_normalizer(frac[:, 0], support, dtype)
-         * _window_normalizer(frac[:, 1], support, dtype)
-         * _window_normalizer(frac[:, 2], support, dtype))
-    val_n = values / Z[:, None]
+    gy = jnp.arange(Gy, dtype=dtype)
+    gz = jnp.arange(Gz, dtype=dtype)
+    Wy = _es_phi((gy[None, None, :] - rel_y[:, :, None]) / half, beta)
+    Wz = _es_phi((gz[None, None, :] - rel_z[:, :, None]) / half, beta)
 
-    ti = jnp.clip(base // T, 0, jnp.asarray([nt[0] - 1, nt[1] - 1, nt[2] - 1]))
-    key = (ti[:, 0] * nt[1] + ti[:, 1]) * nt[2] + ti[:, 2]
-    tile_rel, tile_val = _bin_by_key(key, n_tiles, cap,
-                                     [(rel, jnp.asarray(1e12, dtype)),
-                                      (val_n, jnp.asarray(0.0, dtype))])
+    gridp = jnp.zeros((C, Gx + 2 * W2, Gy, Gz), dtype)
+    for d in range(-W2, W2 + 1):
+        cx = _es_phi((d - fx_b) / half, beta)                  # (Gx, cap)
+        lhs = (Wy[:, :, None, :]
+               * (cx[:, :, None] * val_b)[:, :, :, None])      # (Gx,cap,C,Gy)
+        plane = jnp.einsum("spm,spk->smk",
+                           lhs.reshape(Gx, cap, C * Gy), Wz)
+        plane = jnp.moveaxis(plane.reshape(Gx, C, Gy, Gz), 1, 0)
+        gridp = gridp.at[:, W2 + d: W2 + d + Gx].add(plane)
+    return gridp[:, W2: W2 + Gx]
 
-    t_lin = jnp.arange(n_tiles, dtype=jnp.int32)
-    t0 = t_lin // (nt[1] * nt[2])
-    t1 = (t_lin // nt[2]) % nt[1]
-    t2 = t_lin % nt[2]
-    offs_T = jnp.arange(T, dtype=dtype)
 
-    def one_tile_chunk(args):
-        c0, c1, c2 = args                               # (CH,) tile coords
-        acc = jnp.zeros((c0.shape[0], T * T * T, C), dtype)
-        gx = c0[:, None].astype(dtype) * T + offs_T[None, :]   # (CH, T)
-        gy = c1[:, None].astype(dtype) * T + offs_T[None, :]
-        gz = c2[:, None].astype(dtype) * T + offs_T[None, :]
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    ni = jnp.clip(c0 + dx, 0, nt[0] - 1)
-                    nj = jnp.clip(c1 + dy, 0, nt[1] - 1)
-                    nk = jnp.clip(c2 + dz, 0, nt[2] - 1)
-                    valid = ((c0 + dx == ni) & (c1 + dy == nj)
-                             & (c2 + dz == nk))
-                    nkey = (ni * nt[1] + nj) * nt[2] + nk
-                    pr = tile_rel[nkey]                 # (CH, cap, 3)
-                    pv = tile_val[nkey]                 # (CH, cap, C)
-                    wx = _es_phi((gx[:, None, :] - pr[:, :, 0:1]) / half, beta)
-                    wy = _es_phi((gy[:, None, :] - pr[:, :, 1:2]) / half, beta)
-                    wz = _es_phi((gz[:, None, :] - pr[:, :, 2:3]) / half, beta)
-                    w3 = (wx[:, :, :, None, None] * wy[:, :, None, :, None]
-                          * wz[:, :, None, None, :]).reshape(
-                              c0.shape[0], cap, T * T * T)
-                    w3 = jnp.where(valid[:, None, None], w3, 0.0)
-                    acc = acc + jnp.einsum("bpg,bpc->bgc", w3, pv)
-        return acc
+@partial(jax.jit, static_argnames=("support",))
+def _interp_slab(grids, points, lo, h, support):
+    """Slab-matmul interpolation (NUFFT type-2) — transpose of
+    ``_spread_slab``: per x-offset d, slabs read grid rows s+d (static
+    slice) and contract against the dense y/z windows as batched matmuls;
+    points recover their values through a gather-only inverse map."""
+    dtype = grids.dtype
+    C, Gx, Gy, Gz = grids.shape
+    N = points.shape[0]
+    beta = _es_beta(support)
+    half = support / 2.0
+    W2 = support // 2
+    cap = _slab_cap(N, Gx)
+    rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c = _slab_bins(
+        points, h, lo, Gx, cap, support, dtype)
 
-    CH = 64
-    pad = (-n_tiles) % CH
-    tp = [jnp.pad(t, (0, pad)) for t in (t0, t1, t2)]
-    out = jax.lax.map(one_tile_chunk,
-                      tuple(t.reshape(-1, CH) for t in tp))   # (n/CH, CH, T³, C)
-    out = out.reshape(n_tiles + pad, T, T, T, C)[:n_tiles]
-    out = out.reshape(*nt, T, T, T, C)
-    out = out.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-        nt[0] * T, nt[1] * T, nt[2] * T, C)
-    out = out[:grid_shape[0], :grid_shape[1], :grid_shape[2]]
-    return jnp.moveaxis(out, -1, 0)
+    gy = jnp.arange(Gy, dtype=dtype)
+    gz = jnp.arange(Gz, dtype=dtype)
+    Wy = _es_phi((gy[None, None, :] - rel_y[:, :, None]) / half, beta)
+    Wz = _es_phi((gz[None, None, :] - rel_z[:, :, None]) / half, beta)
+
+    gpad = jnp.pad(grids, ((0, 0), (W2, W2), (0, 0), (0, 0)))
+    out = jnp.zeros((Gx, cap, C), dtype)
+    for d in range(-W2, W2 + 1):
+        rows = gpad[:, W2 + d: W2 + d + Gx]                    # (C,Gx,Gy,Gz)
+        A = jnp.einsum("spj,csjk->spck", Wy, rows)
+        t = jnp.einsum("spck,spk->spc", A, Wz)
+        cx = _es_phi((d - fx_b) / half, beta)
+        out = out + cx[:, :, None] * t
+    # inverse map: point p sits at sorted rank s → slot s − starts[key[p]]
+    ranks = jnp.argsort(order)
+    slot = ranks - starts[key]
+    u = out[key, jnp.clip(slot, 0, cap - 1)]
+    u = jnp.where((slot < cap)[:, None], u, 0.0)
+    return u / Z[:, None]
 
 
 @partial(jax.jit, static_argnames=("support",))
@@ -492,104 +530,10 @@ def _interp_gather(grids, points, lo, h, sigma, support):
     return jnp.einsum("cnw,nw->nc", vals, w3)
 
 
-@partial(jax.jit, static_argnames=("support", "tile", "cap"))
-def _interp_tiled(grids, points, lo, h, sigma, support,
-                  tile: int = 8, cap: int = 128):
-    """Tile-gather interpolation: bin points by the grid TILE containing
-    them; each tile's points read the 27 neighbor tiles of the grid as
-    contiguous blocks and contract the separable window as matmuls — no
-    per-element random gather (which runs at ~ns/element on TPU: the former
-    far-field bottleneck). Mirrors ``_spread``'s structure; overflow beyond
-    ``cap`` points per tile drops the tail (size generously)."""
-    del sigma
-    dtype = grids.dtype
-    C = grids.shape[0]
-    gshape = grids.shape[1:]
-    T = int(tile)
-    N = points.shape[0]
-    beta = _es_beta(support)
-    half = support / 2.0
-    nt = tuple(-(-g // T) for g in gshape)
-    n_tiles = nt[0] * nt[1] * nt[2]
-    pads = [nt[i] * T - gshape[i] for i in range(3)]
-    gp = jnp.pad(grids, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2])))
-    blocked = (gp.reshape(C, nt[0], T, nt[1], T, nt[2], T)
-               .transpose(1, 3, 5, 0, 2, 4, 6)
-               .reshape(n_tiles, C, T * T * T))
-
-    rel = (points - lo[None, :]) / h
-    base = jnp.floor(rel + 0.5).astype(jnp.int32)
-    frac = (rel - base.astype(dtype)).astype(dtype)
-    Z = (_window_normalizer(frac[:, 0], support, dtype)
-         * _window_normalizer(frac[:, 1], support, dtype)
-         * _window_normalizer(frac[:, 2], support, dtype))
-    ti = jnp.clip(base // T, 0, jnp.asarray([nt[0] - 1, nt[1] - 1, nt[2] - 1]))
-    key = (ti[:, 0] * nt[1] + ti[:, 1]) * nt[2] + ti[:, 2]
-
-    # scatter-free binning with an inverse map: after the per-bin compute,
-    # each point GATHERS its own (bin, slot) result back
-    order = jnp.argsort(key)
-    key_s = key[order]
-    bounds = jnp.searchsorted(key_s, jnp.arange(n_tiles + 1, dtype=key.dtype))
-    starts, ends = bounds[:-1], bounds[1:]
-    slot_r = jnp.arange(cap, dtype=starts.dtype)
-    idx = starts[:, None] + slot_r[None, :]
-    valid = idx < ends[:, None]
-    idx_c = jnp.clip(idx, 0, N - 1)
-    tile_rel = jnp.where(valid[..., None], rel[order][idx_c],
-                         jnp.asarray(1e12, dtype))       # (n_tiles, cap, 3)
-
-    t_lin = jnp.arange(n_tiles, dtype=jnp.int32)
-    t0 = t_lin // (nt[1] * nt[2])
-    t1 = (t_lin // nt[2]) % nt[1]
-    t2 = t_lin % nt[2]
-    offs_T = jnp.arange(T, dtype=dtype)
-
-    def one_tile_chunk(args):
-        c0, c1, c2 = args
-        pr = tile_rel[(c0 * nt[1] + c1) * nt[2] + c2]     # (CH, cap, 3)
-        acc = jnp.zeros((c0.shape[0], cap, C), dtype)
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    ni = jnp.clip(c0 + dx, 0, nt[0] - 1)
-                    nj = jnp.clip(c1 + dy, 0, nt[1] - 1)
-                    nk = jnp.clip(c2 + dz, 0, nt[2] - 1)
-                    valid_n = ((c0 + dx == ni) & (c1 + dy == nj)
-                               & (c2 + dz == nk))
-                    gx = ni[:, None].astype(dtype) * T + offs_T[None, :]
-                    gy = nj[:, None].astype(dtype) * T + offs_T[None, :]
-                    gz = nk[:, None].astype(dtype) * T + offs_T[None, :]
-                    gt = blocked[(ni * nt[1] + nj) * nt[2] + nk]  # (CH, C, T³)
-                    wx = _es_phi((gx[:, None, :] - pr[:, :, 0:1]) / half, beta)
-                    wy = _es_phi((gy[:, None, :] - pr[:, :, 1:2]) / half, beta)
-                    wz = _es_phi((gz[:, None, :] - pr[:, :, 2:3]) / half, beta)
-                    w3 = (wx[:, :, :, None, None] * wy[:, :, None, :, None]
-                          * wz[:, :, None, None, :]).reshape(
-                              c0.shape[0], cap, T * T * T)
-                    w3 = jnp.where(valid_n[:, None, None], w3, 0.0)
-                    acc = acc + jnp.einsum("bpg,bcg->bpc", w3, gt)
-        return acc
-
-    CH = 64
-    pad = (-n_tiles) % CH
-    tp = [jnp.pad(t, (0, pad)) for t in (t0, t1, t2)]
-    out = jax.lax.map(one_tile_chunk,
-                      tuple(t.reshape(-1, CH) for t in tp))  # (n/CH, CH, cap, C)
-    out = out.reshape(n_tiles + pad, cap, C)[:n_tiles]
-
-    # inverse map: point p sits at sorted rank s → slot s − starts[key[p]]
-    ranks = jnp.argsort(order)
-    slot = ranks - starts[key]
-    u = out[key, jnp.clip(slot, 0, cap - 1)]               # (N, C)
-    u = jnp.where((slot < cap)[:, None], u, 0.0)
-    return u / Z[:, None]
-
-
-def _interp(grids, points, lo, h, sigma, support):
-    if jax.default_backend() == "cpu":
-        return _interp_gather(grids, points, lo, h, sigma, support)
-    return _interp_tiled(grids, points, lo, h, sigma, support)
+def _pad_to(grids, shape):
+    C, gx, gy, gz = grids.shape
+    return jnp.pad(grids, ((0, 0), (0, shape[0] - gx),
+                           (0, shape[1] - gy), (0, shape[2] - gz)))
 
 
 @jax.jit
@@ -603,19 +547,27 @@ def _far_convolve(grids, khat_ri):
     return jnp.fft.irfftn(u, s=grids.shape[1:], axes=(1, 2, 3)).astype(grids.dtype)
 
 
-def _spread_impl():
-    """Scatter-add on CPU (fast there, and XLA:CPU serializes the gather
-    path's tile map); gather-matmul on accelerators (the axon TPU backend
-    lacks large scatters, and tile matmuls are MXU-native)."""
-    return (_spread_scatter if jax.default_backend() == "cpu" else _spread)
+def _use_slab() -> bool:
+    """Scatter-add/flat-gather on CPU (fast there); slab-matmul spread and
+    interp on accelerators — the axon TPU backend lacks large scatters, and
+    per-element gathers crawl, while batched banded-window matmuls are
+    MXU-native."""
+    return jax.default_backend() != "cpu"
 
 
 def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg):
-    grids = _spread_impl()(r_src, f_src, grid.lo, grid.h, grid.sigma,
-                           grid.shape, grid.support)
+    if _use_slab():
+        L = tuple(grid.logical)
+        glog = _spread_slab(r_src, f_src, grid.lo, grid.h, L, grid.support)
+        u_grids = _far_convolve(_pad_to(glog, grid.shape), grid.khat)
+        return _interp_slab(u_grids[:, :L[0], :L[1], :L[2]], r_trg,
+                            grid.lo, grid.h, grid.support)
+    grids = _spread_scatter(r_src, f_src, grid.lo, grid.h, grid.sigma,
+                            grid.shape, grid.support)
     u_grids = _far_convolve(grids, grid.khat)
     # the tabulated kernel carries the h³ quadrature of the convolution
-    return _interp(u_grids, r_trg, grid.lo, grid.h, grid.sigma, grid.support)
+    return _interp_gather(u_grids, r_trg, grid.lo, grid.h, grid.sigma,
+                          grid.support)
 
 
 @partial(jax.jit, static_argnames=("shape", "support", "h"))
@@ -657,11 +609,20 @@ def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg):
                    S[:, 1, 1],
                    0.5 * (S[:, 1, 2] + S[:, 2, 1]),
                    S[:, 2, 2]], axis=1)
-    D_grids = _spread_impl()(r_src, D, grid.lo, grid.h, grid.sigma,
-                             grid.shape, grid.support)
+    if _use_slab():
+        L = tuple(grid.logical)
+        D_log = _spread_slab(r_src, D, grid.lo, grid.h, L, grid.support)
+        u_grids = _far_stresslet_convolve(_pad_to(D_log, grid.shape),
+                                          grid.khat, grid.phihat,
+                                          grid.shape, grid.support, grid.h)
+        return _interp_slab(u_grids[:, :L[0], :L[1], :L[2]], r_trg,
+                            grid.lo, grid.h, grid.support)
+    D_grids = _spread_scatter(r_src, D, grid.lo, grid.h, grid.sigma,
+                              grid.shape, grid.support)
     u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,
                                       grid.shape, grid.support, grid.h)
-    return _interp(u_grids, r_trg, grid.lo, grid.h, grid.sigma, grid.support)
+    return _interp_gather(u_grids, r_trg, grid.lo, grid.h, grid.sigma,
+                          grid.support)
 
 
 # ---- near field: cell lists ----

@@ -16,3 +16,23 @@ jax.config.update("jax_enable_x64", True)
 # solves with converged GMRES). Force true-f32 matmul accumulation; kernels
 # that can tolerate lower precision opt in locally.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the jitted timestep is one large XLA
+# program whose compile runs minutes on remote-compile (tunneled) TPU
+# backends; caching makes that a one-time cost per program shape. Verified
+# to round-trip executables on the axon backend. Opt out by setting
+# SKELLYSIM_TPU_NO_CACHE; relocate with SKELLYSIM_TPU_CACHE_DIR.
+import os as _os
+
+if not _os.environ.get("SKELLYSIM_TPU_NO_CACHE"):
+    _cache = _os.environ.get(
+        "SKELLYSIM_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "skellysim_tpu",
+                      "xla"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except OSError:  # unwritable home: run uncached
+        pass

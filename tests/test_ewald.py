@@ -106,9 +106,9 @@ def test_ewald_stresslet_matches_dense():
     assert np.abs(got - want).max() / np.abs(want).max() < 3e-6
 
 
-def test_interp_tiled_matches_gather():
-    """The TPU tile-gather interpolation is the same operator as the flat
-    per-element gather (which is the CPU path)."""
+def test_slab_spread_interp_match_scatter_gather():
+    """The TPU slab-matmul spread/interp are the same operators as the
+    scatter-add / flat-gather pair (the CPU path)."""
     rng = np.random.default_rng(5)
     N = 1500
     r = jnp.asarray(rng.uniform(0.2, 1.8, (N, 3)))
@@ -116,8 +116,15 @@ def test_interp_tiled_matches_gather():
     ew = ewald.EwaldStokeslet(lo=[0, 0, 0], hi=[2, 2, 2], a=0.15,
                               dtype=jnp.float64)
     g = ew.grid
+    L = tuple(g.logical)
     grids = ewald._spread_scatter(r, f, g.lo, g.h, g.sigma, g.shape, g.support)
+    grids2 = ewald._pad_to(
+        ewald._spread_slab(r, f, g.lo, g.h, L, g.support), g.shape)
+    derr = float(jnp.abs(grids - grids2).max())
+    assert derr < 1e-12 * (float(jnp.abs(grids).max()) + 1), derr
+
     ug = ewald._far_convolve(grids, g.khat)
     u1 = np.asarray(ewald._interp_gather(ug, r, g.lo, g.h, g.sigma, g.support))
-    u2 = np.asarray(ewald._interp_tiled(ug, r, g.lo, g.h, g.sigma, g.support))
+    u2 = np.asarray(ewald._interp_slab(ug[:, :L[0], :L[1], :L[2]], r,
+                                       g.lo, g.h, g.support))
     assert np.abs(u1 - u2).max() < 1e-12 * (np.abs(u1).max() + 1)
