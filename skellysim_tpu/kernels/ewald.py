@@ -437,6 +437,23 @@ def _slab_cap(n_points: int, Gx: int) -> int:
     return max(128, -(-8 * n_points // max(Gx, 1) // 128) * 128)
 
 
+def _cap_chunks(cap: int, target: int = 512):
+    """Split the slab capacity into scan chunks of ≤ ``target``."""
+    CP = min(cap, target)
+    chunks = -(-cap // CP)
+    return CP, chunks
+
+
+def _chunk_cap(arr, chunks: int, CP: int):
+    """(Gx, cap, …) → (chunks, Gx, CP, …) with zero tail padding."""
+    Gx, cap = arr.shape[0], arr.shape[1]
+    pad = [(0, 0)] * arr.ndim
+    pad[1] = (0, chunks * CP - cap)
+    a = jnp.pad(arr, pad)
+    a = a.reshape((Gx, chunks, CP) + arr.shape[2:])
+    return jnp.moveaxis(a, 1, 0)
+
+
 @partial(jax.jit, static_argnames=("logical", "support"))
 def _spread_slab(points, values, lo, h, logical, support):
     """Slab-matmul spreading — the MXU formulation of NUFFT type-1.
@@ -467,18 +484,30 @@ def _spread_slab(points, values, lo, h, logical, support):
 
     gy = jnp.arange(Gy, dtype=dtype)
     gz = jnp.arange(Gz, dtype=dtype)
-    Wy = _es_phi((gy[None, None, :] - rel_y[:, :, None]) / half, beta)
-    Wz = _es_phi((gz[None, None, :] - rel_z[:, :, None]) / half, beta)
+
+    # dense systems make cap large; scanning cap-chunks bounds the live
+    # (Gx, CP, C, Gy) intermediate to one chunk (the unrolled-d variant OOMs
+    # at oocyte scale: 9 live 1.6 GB temps)
+    CP, chunks = _cap_chunks(cap)
+    xs = (_chunk_cap(rel_y, chunks, CP), _chunk_cap(rel_z, chunks, CP),
+          _chunk_cap(fx_b, chunks, CP), _chunk_cap(val_b, chunks, CP))
+
+    def chunk_body(gridp, chunk):
+        ry, rz, fx, vb = chunk
+        Wy = _es_phi((gy[None, None, :] - ry[:, :, None]) / half, beta)
+        Wz = _es_phi((gz[None, None, :] - rz[:, :, None]) / half, beta)
+        for d in range(-W2, W2 + 1):
+            cx = _es_phi((d - fx) / half, beta)                # (Gx, CP)
+            lhs = (Wy[:, :, None, :]
+                   * (cx[:, :, None] * vb)[:, :, :, None])     # (Gx,CP,C,Gy)
+            plane = jnp.einsum("spm,spk->smk",
+                               lhs.reshape(Gx, CP, C * Gy), Wz)
+            plane = jnp.moveaxis(plane.reshape(Gx, C, Gy, Gz), 1, 0)
+            gridp = gridp.at[:, W2 + d: W2 + d + Gx].add(plane)
+        return gridp, None
 
     gridp = jnp.zeros((C, Gx + 2 * W2, Gy, Gz), dtype)
-    for d in range(-W2, W2 + 1):
-        cx = _es_phi((d - fx_b) / half, beta)                  # (Gx, cap)
-        lhs = (Wy[:, :, None, :]
-               * (cx[:, :, None] * val_b)[:, :, :, None])      # (Gx,cap,C,Gy)
-        plane = jnp.einsum("spm,spk->smk",
-                           lhs.reshape(Gx, cap, C * Gy), Wz)
-        plane = jnp.moveaxis(plane.reshape(Gx, C, Gy, Gz), 1, 0)
-        gridp = gridp.at[:, W2 + d: W2 + d + Gx].add(plane)
+    gridp, _ = jax.lax.scan(chunk_body, gridp, xs)
     return gridp[:, W2: W2 + Gx]
 
 
@@ -500,17 +529,27 @@ def _interp_slab(grids, points, lo, h, support):
 
     gy = jnp.arange(Gy, dtype=dtype)
     gz = jnp.arange(Gz, dtype=dtype)
-    Wy = _es_phi((gy[None, None, :] - rel_y[:, :, None]) / half, beta)
-    Wz = _es_phi((gz[None, None, :] - rel_z[:, :, None]) / half, beta)
-
     gpad = jnp.pad(grids, ((0, 0), (W2, W2), (0, 0), (0, 0)))
-    out = jnp.zeros((Gx, cap, C), dtype)
-    for d in range(-W2, W2 + 1):
-        rows = gpad[:, W2 + d: W2 + d + Gx]                    # (C,Gx,Gy,Gz)
-        A = jnp.einsum("spj,csjk->spck", Wy, rows)
-        t = jnp.einsum("spck,spk->spc", A, Wz)
-        cx = _es_phi((d - fx_b) / half, beta)
-        out = out + cx[:, :, None] * t
+
+    CP, chunks = _cap_chunks(cap)
+    xs = (_chunk_cap(rel_y, chunks, CP), _chunk_cap(rel_z, chunks, CP),
+          _chunk_cap(fx_b, chunks, CP))
+
+    def chunk_body(_, chunk):
+        ry, rz, fx = chunk
+        Wy = _es_phi((gy[None, None, :] - ry[:, :, None]) / half, beta)
+        Wz = _es_phi((gz[None, None, :] - rz[:, :, None]) / half, beta)
+        acc = jnp.zeros((Gx, CP, C), dtype)
+        for d in range(-W2, W2 + 1):
+            rows = gpad[:, W2 + d: W2 + d + Gx]                # (C,Gx,Gy,Gz)
+            A = jnp.einsum("spj,csjk->spck", Wy, rows)
+            t = jnp.einsum("spck,spk->spc", A, Wz)
+            cx = _es_phi((d - fx) / half, beta)
+            acc = acc + cx[:, :, None] * t
+        return _, acc
+
+    _, out = jax.lax.scan(chunk_body, None, xs)   # (chunks, Gx, CP, C)
+    out = jnp.moveaxis(out, 0, 1).reshape(Gx, chunks * CP, C)[:, :cap]
     # inverse map: point p sits at sorted rank s → slot s − starts[key[p]]
     ranks = jnp.argsort(order)
     slot = ranks - starts[key]
