@@ -135,6 +135,39 @@ def main():
                   f"({dt_str*1e3:.2f} ms)", file=sys.stderr)
         except Exception as e:
             print(f"stresslet bench failed: {e}", file=sys.stderr)
+        # spectral-Ewald (O(N) far-field) apply rate — the FMM-tier metric;
+        # equivalent dense pair count n² per apply
+        def _ewald_chain(n_, K, dtype):
+            from skellysim_tpu.kernels.ewald import EwaldStokeslet
+
+            rng = np.random.default_rng(2)
+            r = jnp.asarray(rng.uniform(0, 4.0, (n_, 3)), dtype)
+            fv = jnp.asarray(rng.normal(size=(n_, 3)), dtype)
+            ew = EwaldStokeslet(lo=[0, 0, 0], hi=[4, 4, 4], a=0.08,
+                                dtype=dtype)
+            sp = ew.spectra()
+
+            @jax.jit
+            def run(r, fv, sp):
+                def body(i, acc):
+                    u = ew.apply_with(sp, r + acc * 1e-30, fv, r, 1.0)
+                    return jnp.sum(u) * 1e-30
+                return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+
+            float(run(r, fv, sp))  # compile + warm
+            t0 = time.perf_counter()
+            float(run(r, fv, sp))
+            return (time.perf_counter() - t0) / K
+
+        try:
+            n_ew = 50000
+            dt_ew = _ewald_chain(n_ew, 5, jnp.float32)
+            print(f"tpu ewald stokeslet f32 n={n_ew}: {dt_ew*1e3:.0f} ms/apply "
+                  f"(dense-equivalent {n_ew*n_ew/dt_ew:.3e} inter/s)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"ewald bench failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
         for name, kern in [("xla", xla_kernel), ("pallas", pallas_kernel)]:
             try:
                 dt = _chain_bench(kern, n, 20, dev, jnp.float32)

@@ -575,6 +575,77 @@ def _pad_to(grids, shape):
                            (0, shape[1] - gy), (0, shape[2] - gz)))
 
 
+def _pad1(g, shape):
+    return jnp.pad(g, ((0, shape[0] - g.shape[0]),
+                       (0, shape[1] - g.shape[1]),
+                       (0, shape[2] - g.shape[2])))
+
+
+@partial(jax.jit, static_argnames=("shape", "logical"))
+def _far_convolve_logical(g_log, khat_ri, shape, logical):
+    """Stokeslet k-space convolve, channel-at-a-time.
+
+    Memory-bounded variant for large grids: each force channel is padded
+    and transformed separately (one ~0.5 GB FFT in flight instead of a
+    (3, padded) batch), and each velocity channel is sliced back to the
+    occupied extent right after its inverse transform. Batch-FFT peak
+    memory was the step-killer at oocyte scale (3× 2.5 GB stage buffers).
+    """
+    L0, L1, L2 = logical
+    fh = [jnp.fft.rfftn(_pad1(g_log[c], shape)) for c in range(3)]
+
+    def K(i):
+        return jax.lax.complex(khat_ri[0, i], khat_ri[1, i])
+
+    rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
+    out = []
+    for i in range(3):
+        uh = K(rows[i][0]) * fh[0] + K(rows[i][1]) * fh[1] + K(rows[i][2]) * fh[2]
+        ui = jnp.fft.irfftn(uh, s=shape)[:L0, :L1, :L2]
+        out.append(ui.astype(g_log.dtype))
+    return jnp.stack(out)
+
+
+@partial(jax.jit, static_argnames=("shape", "logical", "h"))
+def _far_stresslet_convolve_logical(D_log, khat_ri, phihat_ri, shape,
+                                    logical, h):
+    """Stresslet k-space convolve, channel-at-a-time (see
+    ``_far_convolve_logical``; math per ``_far_stresslet_convolve``).
+    The six dipole spectra are never co-resident: each one accumulates
+    into (M̂x, M̂y, M̂z, tr D̂) and is discarded."""
+    L0, L1, L2 = logical
+    rdt = D_log.dtype
+    kx = jnp.asarray(2 * np.pi * np.fft.fftfreq(shape[0], d=h), rdt)[:, None, None]
+    ky = jnp.asarray(2 * np.pi * np.fft.fftfreq(shape[1], d=h), rdt)[None, :, None]
+    kz = jnp.asarray(2 * np.pi * np.fft.rfftfreq(shape[2], d=h), rdt)[None, None, :]
+    kvec = (kx, ky, kz)
+    # channel c ↔ (i, j) of the symmetric dipole; off-diagonals appear in
+    # two M components, diagonals in one plus the trace
+    comp = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    M = [0.0, 0.0, 0.0]
+    trD = 0.0
+    for c, (i, j) in enumerate(comp):
+        Dh = jnp.fft.rfftn(_pad1(D_log[c], shape))
+        M[i] = M[i] + kvec[j] * Dh
+        if i != j:
+            M[j] = M[j] + kvec[i] * Dh
+        else:
+            trD = trD + Dh
+
+    def K(i):
+        return jax.lax.complex(khat_ri[0, i], khat_ri[1, i])
+
+    phihat = jax.lax.complex(phihat_ri[0], phihat_ri[1])
+    rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
+    out = []
+    for i in range(3):
+        uh = 2.0 * (K(rows[i][0]) * M[0] + K(rows[i][1]) * M[1]
+                    + K(rows[i][2]) * M[2]) + kvec[i] * phihat * trD
+        ui = jnp.fft.irfftn(1j * uh, s=shape)[:L0, :L1, :L2]
+        out.append(ui.astype(rdt))
+    return jnp.stack(out)
+
+
 @jax.jit
 def _far_convolve(grids, khat_ri):
     khat = jax.lax.complex(khat_ri[0], khat_ri[1])
@@ -598,9 +669,8 @@ def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg):
     if _use_slab():
         L = tuple(grid.logical)
         glog = _spread_slab(r_src, f_src, grid.lo, grid.h, L, grid.support)
-        u_grids = _far_convolve(_pad_to(glog, grid.shape), grid.khat)
-        return _interp_slab(u_grids[:, :L[0], :L[1], :L[2]], r_trg,
-                            grid.lo, grid.h, grid.support)
+        u_log = _far_convolve_logical(glog, grid.khat, grid.shape, L)
+        return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support)
     grids = _spread_scatter(r_src, f_src, grid.lo, grid.h, grid.sigma,
                             grid.shape, grid.support)
     u_grids = _far_convolve(grids, grid.khat)
@@ -651,11 +721,10 @@ def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg):
     if _use_slab():
         L = tuple(grid.logical)
         D_log = _spread_slab(r_src, D, grid.lo, grid.h, L, grid.support)
-        u_grids = _far_stresslet_convolve(_pad_to(D_log, grid.shape),
-                                          grid.khat, grid.phihat,
-                                          grid.shape, grid.support, grid.h)
-        return _interp_slab(u_grids[:, :L[0], :L[1], :L[2]], r_trg,
-                            grid.lo, grid.h, grid.support)
+        u_log = _far_stresslet_convolve_logical(D_log, grid.khat,
+                                                grid.phihat, grid.shape,
+                                                L, grid.h)
+        return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support)
     D_grids = _spread_scatter(r_src, D, grid.lo, grid.h, grid.sigma,
                               grid.shape, grid.support)
     u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,

@@ -128,3 +128,25 @@ def test_slab_spread_interp_match_scatter_gather():
     u2 = np.asarray(ewald._interp_slab(ug[:, :L[0], :L[1], :L[2]], r,
                                        g.lo, g.h, g.support))
     assert np.abs(u1 - u2).max() < 1e-12 * (np.abs(u1).max() + 1)
+
+
+def test_logical_convolves_match_batch():
+    """The channel-at-a-time (memory-bounded) k-space convolves equal the
+    batch forms on the occupied extent, for both kernels."""
+    rng = np.random.default_rng(7)
+    ew = ewald.EwaldStokeslet(lo=[0, 0, 0], hi=[1.5, 1.5, 1.5], a=0.2,
+                              dtype=jnp.float64)
+    g = ew.grid
+    L = tuple(g.logical)
+    glog = jnp.asarray(rng.normal(size=(3,) + L))
+    full = ewald._far_convolve(ewald._pad_to(glog, g.shape), g.khat)
+    part = ewald._far_convolve_logical(glog, g.khat, g.shape, L)
+    assert np.abs(np.asarray(full[:, :L[0], :L[1], :L[2]] - part)).max() < 1e-10
+
+    Dlog = jnp.asarray(rng.normal(size=(6,) + L))
+    fullS = ewald._far_stresslet_convolve(ewald._pad_to(Dlog, g.shape),
+                                          g.khat, g.phihat, g.shape,
+                                          g.support, g.h)
+    partS = ewald._far_stresslet_convolve_logical(Dlog, g.khat, g.phihat,
+                                                  g.shape, L, g.h)
+    assert np.abs(np.asarray(fullS[:, :L[0], :L[1], :L[2]] - partS)).max() < 1e-10
