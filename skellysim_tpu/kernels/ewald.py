@@ -454,8 +454,8 @@ def _chunk_cap(arr, chunks: int, CP: int):
     return jnp.moveaxis(a, 1, 0)
 
 
-@partial(jax.jit, static_argnames=("logical", "support"))
-def _spread_slab(points, values, lo, h, logical, support):
+@partial(jax.jit, static_argnames=("logical", "support", "cap"))
+def _spread_slab(points, values, lo, h, logical, support, cap=None):
     """Slab-matmul spreading — the MXU formulation of NUFFT type-1.
 
     Points bin by their nearest x-plane ("slab"). The y/z windows are
@@ -476,7 +476,7 @@ def _spread_slab(points, values, lo, h, logical, support):
     beta = _es_beta(support)
     half = support / 2.0
     W2 = support // 2
-    cap = _slab_cap(N, Gx)
+    cap = cap or _slab_cap(N, Gx)
     rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c = _slab_bins(
         points, h, lo, Gx, cap, support, dtype)
     val_b = jnp.where(valid[..., None],
@@ -511,8 +511,8 @@ def _spread_slab(points, values, lo, h, logical, support):
     return gridp[:, W2: W2 + Gx]
 
 
-@partial(jax.jit, static_argnames=("support",))
-def _interp_slab(grids, points, lo, h, support):
+@partial(jax.jit, static_argnames=("support", "cap"))
+def _interp_slab(grids, points, lo, h, support, cap=None):
     """Slab-matmul interpolation (NUFFT type-2) — transpose of
     ``_spread_slab``: per x-offset d, slabs read grid rows s+d (static
     slice) and contract against the dense y/z windows as batched matmuls;
@@ -523,7 +523,7 @@ def _interp_slab(grids, points, lo, h, support):
     beta = _es_beta(support)
     half = support / 2.0
     W2 = support // 2
-    cap = _slab_cap(N, Gx)
+    cap = cap or _slab_cap(N, Gx)
     rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c = _slab_bins(
         points, h, lo, Gx, cap, support, dtype)
 
@@ -665,12 +665,14 @@ def _use_slab() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg):
+def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg, slab_cap=None):
     if _use_slab():
         L = tuple(grid.logical)
-        glog = _spread_slab(r_src, f_src, grid.lo, grid.h, L, grid.support)
+        glog = _spread_slab(r_src, f_src, grid.lo, grid.h, L, grid.support,
+                            cap=slab_cap)
         u_log = _far_convolve_logical(glog, grid.khat, grid.shape, L)
-        return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support)
+        return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support,
+                            cap=slab_cap)
     grids = _spread_scatter(r_src, f_src, grid.lo, grid.h, grid.sigma,
                             grid.shape, grid.support)
     u_grids = _far_convolve(grids, grid.khat)
@@ -709,7 +711,7 @@ def _far_stresslet_convolve(D_grids, khat_ri, phihat_ri, shape, support, h):
     return jnp.fft.irfftn(u, s=shape, axes=(1, 2, 3)).astype(D_grids.dtype)
 
 
-def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg):
+def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg, slab_cap=None):
     """Grid far field of the stresslet with densities S (N,3,3); only the
     symmetric part couples (T is symmetric in its density indices)."""
     D = jnp.stack([S[:, 0, 0],
@@ -720,11 +722,13 @@ def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg):
                    S[:, 2, 2]], axis=1)
     if _use_slab():
         L = tuple(grid.logical)
-        D_log = _spread_slab(r_src, D, grid.lo, grid.h, L, grid.support)
+        D_log = _spread_slab(r_src, D, grid.lo, grid.h, L, grid.support,
+                             cap=slab_cap)
         u_log = _far_stresslet_convolve_logical(D_log, grid.khat,
                                                 grid.phihat, grid.shape,
                                                 L, grid.h)
-        return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support)
+        return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support,
+                            cap=slab_cap)
     D_grids = _spread_scatter(r_src, D, grid.lo, grid.h, grid.sigma,
                               grid.shape, grid.support)
     u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,
@@ -836,12 +840,17 @@ class EwaldStokeslet:
 
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
-                 dtype=jnp.float32, grid: EwaldGrid = None):
+                 dtype=jnp.float32, grid: EwaldGrid = None,
+                 slab_cap: int = None):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
+        # near-field cell capacity and far-field x-slab capacity: both drop
+        # overflow points, both cost linearly — size from geometry when
+        # known (see System._ewald_objects) rather than worst-case
         self.cap = int(cap)
+        self.slab_cap = slab_cap
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
         self.cell = self.r_cut
@@ -862,7 +871,7 @@ class EwaldStokeslet:
         grid = self.grid._replace(khat=spectra["khat"],
                                   phihat=spectra["phihat"])
         u_far = far_field_apply(grid, r_src.astype(dt), f_src.astype(dt),
-                                r_trg.astype(dt))
+                                r_trg.astype(dt), slab_cap=self.slab_cap)
         u_near = _near_apply(r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
                              jnp.asarray(self.lo, dt), self.cell,
                              self.n_cells, self.cap, self.a)
@@ -890,12 +899,17 @@ class EwaldStresslet:
 
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
-                 dtype=jnp.float32, grid: EwaldGrid = None):
+                 dtype=jnp.float32, grid: EwaldGrid = None,
+                 slab_cap: int = None):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
+        # near-field cell capacity and far-field x-slab capacity: both drop
+        # overflow points, both cost linearly — size from geometry when
+        # known (see System._ewald_objects) rather than worst-case
         self.cap = int(cap)
+        self.slab_cap = slab_cap
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
         self.cell = self.r_cut
@@ -913,7 +927,8 @@ class EwaldStresslet:
         grid = self.grid._replace(khat=spectra["khat"],
                                   phihat=spectra["phihat"])
         u_far = far_stresslet_apply(grid, r_src.astype(dt),
-                                    S.astype(dt), r_trg.astype(dt))
+                                    S.astype(dt), r_trg.astype(dt),
+                                    slab_cap=self.slab_cap)
         payload = S.reshape(S.shape[0], 9).astype(dt)
         u_near = _near_apply(r_src.astype(dt), payload, r_trg.astype(dt),
                              jnp.asarray(self.lo, dt), self.cell,

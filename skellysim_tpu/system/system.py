@@ -214,8 +214,45 @@ class System:
                   cap=self.params.ewald_cap, dtype=self.dtype)
         stk = EwaldStokeslet(**kw)
         st = EwaldStresslet(grid=stk.grid, **kw)
-        logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s",
-                    np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape)
+
+        # Geometry-informed capacities. Both the near-field cell lists and
+        # the far-field x-slabs drop overflow points, and both cost linearly
+        # in their capacity — worst-case sizing (8× uniform mean) made the
+        # oocyte-scale solve spend most of its time multiplying padding.
+        # Measure the actual occupancy of the initial geometry and add 2×
+        # headroom for motion/nucleation.
+        def _round_up(v, q):
+            return int(-(-int(v) // q) * q)
+
+        gh = stk.grid.h
+        glo = np.asarray(stk.grid.lo, np.float64)
+        sx = np.floor((allp[:, 0] - glo[0]) / gh + 0.5).astype(int)
+        slab_occ = np.bincount(sx - sx.min()).max()
+        stk.slab_cap = st.slab_cap = _round_up(2.0 * slab_occ + 64, 128)
+
+        def _near_cap(pts, ev):
+            ci = np.floor((pts - ev.lo[None, :]) / ev.cell).astype(int)
+            key = ((ci[:, 0] * ev.n_cells[1] + ci[:, 1]) * ev.n_cells[2]
+                   + ci[:, 2])
+            return _round_up(2.0 * np.bincount(key).max() + 32, 64)
+
+        stk.cap = _near_cap(allp, stk)
+        # stresslet sources are only the shell/body surfaces — far sparser
+        surf = [np.asarray(self.shell.state.nodes)] if self.shell else []
+        if self.bodies.n_bodies:
+            surf.append(np.asarray(bcont.positions(caches)).reshape(-1, 3))
+        st.cap = (_near_cap(np.concatenate(surf, axis=0), st)
+                  if surf else stk.cap)
+        logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s "
+                    "slab_cap=%d near_caps=(%d,%d)",
+                    np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape,
+                    stk.slab_cap, stk.cap, st.cap)
+        if (self.dtype == jnp.float32 and self.params.gmres_tol < 1e-4):
+            logger.warning(
+                "gmres_tol %.1e is below the f32 spectral-Ewald evaluator "
+                "accuracy (~2e-5 relative); GMRES may stall at the noise "
+                "floor and burn iterations — consider tol >= 1e-4 or "
+                "precision='double'", self.params.gmres_tol)
         self._ewald_pair = (stk, st)
         self._ewald_state = stk.spectra()
         return self._ewald_pair
