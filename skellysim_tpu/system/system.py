@@ -31,6 +31,7 @@ from skellysim_tpu.periphery import shell as shell_ops
 from skellysim_tpu.solver import gmres
 from skellysim_tpu.system import fiber_system as fs
 from skellysim_tpu.system.sources import BackgroundFlow, PointSources
+from skellysim_tpu.utils.rng import RNG
 
 logger = logging.getLogger("skellysim_tpu")
 
@@ -140,7 +141,10 @@ class System:
             raise ValueError("Background sources are incompatible with peripheries "
                              "(reference sanity_check, system.cpp:625-626)")
 
-        self.rng = np.random.default_rng(self.params.seed)
+        # shared + per-process streams (trng split, rng.cpp:18-32): shared
+        # draws agree on every process, local draws are process-unique
+        self.rng = RNG(self.params.seed, jax.process_index(),
+                       jax.process_count())
         self._log_params()
 
         self._writer: Optional[tio.TrajectoryWriter] = None
@@ -668,7 +672,7 @@ class System:
                 if pinned[row]:
                     vg *= di["v_grow_collision_scale"]
                     f_cat *= di["f_catastrophe_collision_scale"]
-                if self.rng.uniform() > np.exp(-dt * f_cat):
+                if self.rng.local.uniform() > np.exp(-dt * f_cat):
                     new_active[row] = False
                 else:
                     if binding_body[row] >= 0:
@@ -689,9 +693,12 @@ class System:
         inactive_sites = [s for s in all_sites if s not in occupied]
         if inactive_sites:
             lam = dt * di["nucleation_rate"] * len(inactive_sites)
-            n_new = min(int(self.rng.poisson(lam)), len(inactive_sites))
+            # nucleation draws come from the SHARED stream: every process
+            # sees the same events (the reference draws on rank 0 and
+            # broadcasts, dynamic_instability.cpp:140-162)
+            n_new = min(int(self.rng.shared.poisson(lam)), len(inactive_sites))
             for _ in range(n_new):
-                pick = int(self.rng.integers(0, len(inactive_sites)))
+                pick = int(self.rng.shared.integers(0, len(inactive_sites)))
                 ib, isite = inactive_sites.pop(pick)
                 body = self.bodies.bodies[ib]
                 from skellysim_tpu.body.rigid import place as body_place
@@ -824,8 +831,7 @@ class System:
             self._writer = tio.TrajectoryWriter(self._output_file, resume=resume)
 
     def _rng_state_strings(self) -> List[List[str]]:
-        state = json.dumps(self.rng.bit_generator.state)
-        return [[state, state]]
+        return self.rng.dump()
 
     def _frame_dict(self) -> dict:
         fib_entries = []
@@ -924,7 +930,7 @@ class System:
                 solution=jnp.asarray(entry["solution_vec_"]),
             )
         try:
-            self.rng.bit_generator.state = json.loads(frame["rng_state"][0][0])
+            self.rng.load(frame["rng_state"])
         except (KeyError, ValueError, IndexError, TypeError):
             logger.warning("could not restore RNG state; reseeding")
         if rebuilt and hasattr(self, "_step_fn"):
