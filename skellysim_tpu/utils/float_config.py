@@ -24,7 +24,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # SKELLYSIM_TPU_NO_CACHE; relocate with SKELLYSIM_TPU_CACHE_DIR.
 import os as _os
 
-if not _os.environ.get("SKELLYSIM_TPU_NO_CACHE"):
+# CPU-forced runs (tests, the multi-chip dryrun) skip the cache: XLA:CPU
+# AOT results encode detected machine features and reloading them across
+# environments risks SIGILL; accelerator executables don't have that issue
+# and are the ones with multi-minute compiles.
+if not (_os.environ.get("SKELLYSIM_TPU_NO_CACHE")
+        or _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"):
     _cache = _os.environ.get(
         "SKELLYSIM_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "skellysim_tpu",
