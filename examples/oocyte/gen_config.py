@@ -17,6 +17,9 @@ config.params.dt_write = 0.1
 config.params.t_final = 10.0
 config.params.gmres_tol = 1e-8
 config.params.seed = 350
+# "pallas" is fastest below ~1e5 interaction points; at full scale
+# (3000 fibers + large shells) switch to the O(N) tier: "ewald" with
+# gmres_tol >= 1e-4 under precision = "single" (docs/getting_started.md)
 config.params.pair_evaluator = "direct"
 
 envelope = {

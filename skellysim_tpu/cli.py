@@ -25,6 +25,10 @@ def main(argv=None) -> int:
                     help="serve analysis requests (streamlines/fields) over stdin/stdout")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (cpu/tpu); default uses the session default")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host run: call jax.distributed.initialize() "
+                         "(coordinator/process env auto-detected on TPU pods; "
+                         "the mpirun replacement — see scripts/skelly_sim_tpu_pod.sh)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the run into this directory")
     args = ap.parse_args(argv)
@@ -36,6 +40,13 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        import jax
+
+        # one process per host; TPU pod env supplies coordinator address,
+        # process count and index (jax.distributed docs). This replaces the
+        # reference's MPI_Init_thread (src/skelly_sim.cpp:14).
+        jax.distributed.initialize()
 
     traj = "skelly_sim.out"
     if not args.resume and not args.listen and os.path.exists(traj) and not args.overwrite:
