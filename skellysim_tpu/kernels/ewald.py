@@ -430,6 +430,21 @@ def _slab_bins(points, h, lo, Gx, cap, support, dtype):
     return rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c
 
 
+@partial(jax.jit, static_argnames=("Gx", "cap"))
+def slab_dropped(points, lo, h, Gx: int, cap: int):
+    """Number of points the x-slab binning would drop at capacity ``cap``.
+
+    Positions-only and cheap; the System evaluates it once per step so slab
+    overflow is surfaced (and capacities regrown) instead of silently
+    deleting far-field contributions."""
+    rel_x = (points[:, 0] - lo[0]) / h
+    key = jnp.clip(jnp.floor(rel_x + 0.5).astype(jnp.int32), 0, Gx - 1)
+    key_s = jnp.sort(key)
+    bounds = jnp.searchsorted(key_s, jnp.arange(Gx + 1, dtype=key.dtype))
+    counts = bounds[1:] - bounds[:-1]
+    return jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
+
+
 def _slab_cap(n_points: int, Gx: int) -> int:
     """Per-x-slab point capacity: 8× the uniform mean, rounded to 128.
     Overflow beyond the cap drops the tail (as in the cell-list near field);
@@ -841,15 +856,17 @@ class EwaldStokeslet:
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
-                 slab_cap: int = None):
+                 slab_cap: int = None, cap_t: int = None):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
         # near-field cell capacity and far-field x-slab capacity: both drop
         # overflow points, both cost linearly — size from geometry when
-        # known (see System._ewald_objects) rather than worst-case
+        # known (see System._ewald_objects) rather than worst-case; overflow
+        # is COUNTED (NearPlan.dropped, slab_dropped) so callers can regrow
         self.cap = int(cap)
+        self.cap_t = int(cap_t) if cap_t is not None else int(cap)
         self.slab_cap = slab_cap
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
@@ -865,16 +882,31 @@ class EwaldStokeslet:
         (HTTP 413 on the tunneled TPU) and every backend bloats."""
         return {"khat": self.grid.khat, "phihat": self.grid.phihat}
 
-    def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0):
+    def make_near_plan(self, r_src, r_trg):
+        """Positions-only near-field binning (NearPlan). Positions are fixed
+        for a whole timestep, so the System builds this once per step and
+        shares it across every GMRES iteration; ``plan.dropped`` counts
+        capacity overflow."""
+        from skellysim_tpu.kernels.ewald_near_pallas import make_plan
+
+        dt = self.dtype
+        return make_plan(r_src.astype(dt), r_trg.astype(dt),
+                         jnp.asarray(self.lo, dt), self.cell, self.n_cells,
+                         self.cap, self.cap_t)
+
+    def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0, plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""
+        from skellysim_tpu.kernels.ewald_near_pallas import near_apply_plan
+
         dt = self.dtype
         grid = self.grid._replace(khat=spectra["khat"],
                                   phihat=spectra["phihat"])
         u_far = far_field_apply(grid, r_src.astype(dt), f_src.astype(dt),
                                 r_trg.astype(dt), slab_cap=self.slab_cap)
-        u_near = _near_apply(r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
-                             jnp.asarray(self.lo, dt), self.cell,
-                             self.n_cells, self.cap, self.a)
+        if plan is None:
+            plan = self.make_near_plan(r_src, r_trg)
+        u_near = near_apply_plan(plan, f_src.astype(dt), self.a,
+                                 kind="stokeslet")
         return ((u_far + u_near) / eta).astype(r_trg.dtype)
 
     def apply(self, r_src, f_src, r_trg, eta=1.0, n_self: int = 0):
@@ -900,15 +932,17 @@ class EwaldStresslet:
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
-                 slab_cap: int = None):
+                 slab_cap: int = None, cap_t: int = None):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
         # near-field cell capacity and far-field x-slab capacity: both drop
         # overflow points, both cost linearly — size from geometry when
-        # known (see System._ewald_objects) rather than worst-case
+        # known (see System._ewald_objects) rather than worst-case; overflow
+        # is COUNTED (NearPlan.dropped, slab_dropped) so callers can regrow
         self.cap = int(cap)
+        self.cap_t = int(cap_t) if cap_t is not None else int(cap)
         self.slab_cap = slab_cap
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
@@ -921,8 +955,19 @@ class EwaldStresslet:
         """See ``EwaldStokeslet.spectra``."""
         return {"khat": self.grid.khat, "phihat": self.grid.phihat}
 
-    def apply_with(self, spectra, r_src, S, r_trg, eta=1.0):
+    def make_near_plan(self, r_src, r_trg):
+        """See ``EwaldStokeslet.make_near_plan``."""
+        from skellysim_tpu.kernels.ewald_near_pallas import make_plan
+
+        dt = self.dtype
+        return make_plan(r_src.astype(dt), r_trg.astype(dt),
+                         jnp.asarray(self.lo, dt), self.cell, self.n_cells,
+                         self.cap, self.cap_t)
+
+    def apply_with(self, spectra, r_src, S, r_trg, eta=1.0, plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""
+        from skellysim_tpu.kernels.ewald_near_pallas import near_apply_plan
+
         dt = self.dtype
         grid = self.grid._replace(khat=spectra["khat"],
                                   phihat=spectra["phihat"])
@@ -930,10 +975,9 @@ class EwaldStresslet:
                                     S.astype(dt), r_trg.astype(dt),
                                     slab_cap=self.slab_cap)
         payload = S.reshape(S.shape[0], 9).astype(dt)
-        u_near = _near_apply(r_src.astype(dt), payload, r_trg.astype(dt),
-                             jnp.asarray(self.lo, dt), self.cell,
-                             self.n_cells, self.cap, self.a,
-                             kernel="stresslet")
+        if plan is None:
+            plan = self.make_near_plan(r_src, r_trg)
+        u_near = near_apply_plan(plan, payload, self.a, kind="stresslet")
         return ((u_far + u_near) / (2.0 * eta)).astype(r_trg.dtype)
 
     def apply(self, r_src, S, r_trg, eta=1.0):

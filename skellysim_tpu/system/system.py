@@ -321,11 +321,7 @@ class System:
         @jax.jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
                     dt, time, ewald_state=None):
-            if use_ewald:
-                ev_stk = partial(ew_stk.apply_with, ewald_state)
-                ev_str = partial(ew_str.apply_with, ewald_state)
-            else:
-                ev_stk, ev_str = ev_stk0, ev_str0
+            ev_stk, ev_str = ev_stk0, ev_str0
             # --- boundary conditions (update_boundary_conditions) ---
             bc_minus = [jnp.where(b.minus_clamped | (b.binding_body >= 0), 1, 0)
                         for b in blocks]
@@ -351,6 +347,52 @@ class System:
             if has_bodies:
                 r_parts.append(bcont.positions(body_caches))
             r_all = jnp.concatenate(r_parts, axis=0)
+            # shell flow reaches fibers and bodies, not itself
+            r_fibbody = (jnp.concatenate([r_fib, r_all[r_all.shape[0] - Nb:]])
+                         if has_bodies else r_fib)
+
+            ewald_dropped = jnp.zeros((), jnp.int32)
+            if use_ewald:
+                # Near-field binning depends only on POSITIONS, which are
+                # fixed for the whole step: build each (src, trg) plan ONCE
+                # here, outside the GMRES loop, and share it across every
+                # matvec (and between the prep flow and the solve). The
+                # plans also COUNT capacity overflow; the host regrows
+                # capacities and re-runs when ewald_dropped > 0 instead of
+                # silently losing interactions.
+                plan_fib = ew_stk.make_near_plan(r_fib, r_all)
+                ewald_dropped = ewald_dropped + plan_fib.dropped
+                from skellysim_tpu.kernels.ewald import slab_dropped as _sd
+                g = ew_stk.grid
+                ewald_dropped = ewald_dropped + _sd(
+                    r_all.astype(ew_stk.dtype), g.lo, g.h,
+                    int(g.logical[0]), ew_stk.slab_cap)
+
+                def ev_stk(r_src, f_src, r_trg, eta_=eta):
+                    assert r_src.shape[0] == r_fib.shape[0], \
+                        "stokeslet plan mismatch"
+                    return ew_stk.apply_with(ewald_state, r_src, f_src,
+                                             r_trg, eta_, plan=plan_fib)
+
+                if has_shell:
+                    plan_shell = ew_str.make_near_plan(shell_state.nodes,
+                                                       r_fibbody)
+                    ewald_dropped = ewald_dropped + plan_shell.dropped
+
+                    def ev_str_shell(r_src, S, r_trg, eta_=eta):
+                        return ew_str.apply_with(ewald_state, r_src, S,
+                                                 r_trg, eta_,
+                                                 plan=plan_shell)
+                if has_bodies:
+                    plan_body = ew_str.make_near_plan(
+                        bcont.positions(body_caches), r_all)
+                    ewald_dropped = ewald_dropped + plan_body.dropped
+
+                    def ev_str_body(r_src, S, r_trg, eta_=eta):
+                        return ew_str.apply_with(ewald_state, r_src, S,
+                                                 r_trg, eta_, plan=plan_body)
+            else:
+                ev_str_shell = ev_str_body = ev_str
 
             # --- pre-solve external forces and velocities (prep_state) ---
             if has_shell:
@@ -400,11 +442,8 @@ class System:
                             evaluator=ev_stk)
                 if has_shell:
                     x_s = x[F:FS]
-                    # shell flow reaches fibers and bodies, not itself
-                    r_fibbody = (jnp.concatenate([r_fib, r_all[r_all.shape[0] - Nb:]])
-                                 if has_bodies else r_fib)
                     u_sh = shell_ops.flow(shell_state, r_fibbody, x_s, eta,
-                                          evaluator=ev_str)
+                                          evaluator=ev_str_shell)
                     v = v.at[:Nf].add(u_sh[:Nf])
                     if has_bodies:
                         v = v.at[r_all.shape[0] - Nb:].add(u_sh[Nf:])
@@ -414,9 +453,14 @@ class System:
                     v_on_fib, link_ft = bcont.link_conditions(
                         blocks, ops, caches, x_fib_split, x_b,
                         body_states, body_caches, max_sites)
+                    # body CENTER stokeslets/rotlets are O(n_bodies) sources:
+                    # the dense evaluator is exact and cheaper than a full
+                    # grid pass, so the ewald tier never handles them
                     v = v + bcont.flow(body_states, body_caches, r_all, x_b,
-                                       link_ft, eta, evaluator_stresslet=ev_str,
-                                       evaluator_stokeslet=ev_stk)
+                                       link_ft, eta,
+                                       evaluator_stresslet=ev_str_body,
+                                       evaluator_stokeslet=(
+                                           None if use_ewald else ev_stk))
                 else:
                     v_on_fib = None
                 res = [fs.matvec(blocks, ops, caches, x_f, v[:Nf],
@@ -450,7 +494,7 @@ class System:
                 new_bodies = body_states
             err = fs.fiber_error(new_blocks, ops)
             return (new_blocks, new_shell, new_bodies, res.x, err, res.residual,
-                    res.iterations, res.converged)
+                    res.iterations, res.converged, ewald_dropped)
 
         return step_fn
 
@@ -725,6 +769,22 @@ class System:
         return grew
 
     # ---- host control ----
+    def _grow_ewald_caps(self):
+        """Double every spectral-Ewald capacity and rebuild the compiled
+        functions — the overflow-recovery path (same pattern as the
+        dynamic-instability capacity growth). The grid/spectra are reused;
+        only the binning capacities change."""
+        stk, st = self._ewald_pair
+        for ev in (stk, st):
+            ev.cap = 2 * ev.cap
+            ev.cap_t = 2 * ev.cap_t
+            ev.slab_cap = 2 * ev.slab_cap
+        logger.warning("ewald capacity overflow: regrown to near=(%d,%d)/"
+                       "(%d,%d) slab=%d and recompiling",
+                       stk.cap, stk.cap_t, st.cap, st.cap_t, stk.slab_cap)
+        self._step_fn = self._build_step_fn()
+        self._velocity_fn = self._build_velocity_fn()
+
     def step(self):
         """One trial step at the current dt. Returns (fiber_error, converged)."""
         if self.dynamic_instability():
@@ -733,15 +793,26 @@ class System:
             self._collision_fn = self._build_collision_fn()
             self._velocity_fn = self._build_velocity_fn()
         t0 = _walltime.perf_counter()
-        shell_state = self.shell.state if self.shell else None
-        extra = ((self._ewald_state,)
-                 if self.params.pair_evaluator == "ewald" else ())
-        (blocks, new_shell, new_bodies, sol, err, resid, iters, conv) = self._step_fn(
-            self.fibers.blocks, shell_state, self.bodies.states(),
-            self.point_sources, self.background,
-            jnp.asarray(self.dt, self.dtype), jnp.asarray(self.time, self.dtype),
-            *extra,
-        )
+        use_ewald = self.params.pair_evaluator == "ewald"
+        for _attempt in range(6):
+            shell_state = self.shell.state if self.shell else None
+            extra = ((self._ewald_state,) if use_ewald else ())
+            (blocks, new_shell, new_bodies, sol, err, resid, iters, conv,
+             dropped) = self._step_fn(
+                self.fibers.blocks, shell_state, self.bodies.states(),
+                self.point_sources, self.background,
+                jnp.asarray(self.dt, self.dtype),
+                jnp.asarray(self.time, self.dtype),
+                *extra,
+            )
+            if not use_ewald or int(dropped) == 0:
+                break
+            # capacity overflow: the evaluation silently lost `dropped`
+            # interactions — the result is WRONG, not merely inaccurate.
+            # Regrow and redo the step from the unmodified pre-step state.
+            self._grow_ewald_caps()
+        else:
+            raise RuntimeError("ewald capacity growth did not converge")
         err = float(err)
         self.fibers.blocks = blocks
         if self.shell is not None:

@@ -43,3 +43,29 @@ def test_ewald_evaluator_step_matches_direct():
                           for b in s_ewald.fibers.blocks])
     assert np.abs(x_d - x_e).max() < 1e-6
     assert bool(r_d[1]) and bool(r_e[1])
+
+
+def test_ewald_overflow_triggers_regrow_not_silence():
+    """Undersized capacities must be detected and regrown during step(),
+    and the regrown step must still match the dense evaluator — the
+    anti-silent-corruption gate (VERDICT missing #3)."""
+    s = _build("ewald")
+    stk, st = s._ewald_objects()
+    # sabotage: shrink capacities far below the real occupancy
+    for ev in (stk, st):
+        ev.cap = 8
+        ev.cap_t = 8
+        ev.slab_cap = 8
+    caps_before = (stk.cap, stk.cap_t, stk.slab_cap)
+    s._step_fn = s._build_step_fn()
+    r = s.step()
+    assert bool(r[1])
+    assert (stk.cap, stk.cap_t, stk.slab_cap) > caps_before
+
+    s_direct = _build("direct")
+    s_direct.step()
+    x_d = np.concatenate([np.asarray(b.x).ravel()
+                          for b in s_direct.fibers.blocks])
+    x_e = np.concatenate([np.asarray(b.x).ravel()
+                          for b in s.fibers.blocks])
+    assert np.abs(x_d - x_e).max() < 1e-6
