@@ -856,18 +856,22 @@ class EwaldStokeslet:
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
-                 slab_cap: int = None, cap_t: int = None):
+                 slab_cap: int = None, cap_t: int = None,
+                 pair_cap: int = 128):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
-        # near-field cell capacity and far-field x-slab capacity: both drop
-        # overflow points, both cost linearly — size from geometry when
-        # known (see System._ewald_objects) rather than worst-case; overflow
-        # is COUNTED (NearPlan.dropped, slab_dropped) so callers can regrow
+        # legacy cell-list capacity (the `_near_apply` reference path) and
+        # far-field x-slab capacity: both drop overflow points — size from
+        # geometry when known (System._ewald_objects); overflow is COUNTED
+        # (ClusterPlan.dropped, slab_dropped) so callers can regrow
         self.cap = int(cap)
         self.cap_t = int(cap_t) if cap_t is not None else int(cap)
         self.slab_cap = slab_cap
+        # cluster-pairlist width (production near field): candidate source
+        # clusters per target cluster
+        self.pair_cap = int(pair_cap)
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
         self.cell = self.r_cut
@@ -883,20 +887,19 @@ class EwaldStokeslet:
         return {"khat": self.grid.khat, "phihat": self.grid.phihat}
 
     def make_near_plan(self, r_src, r_trg):
-        """Positions-only near-field binning (NearPlan). Positions are fixed
-        for a whole timestep, so the System builds this once per step and
-        shares it across every GMRES iteration; ``plan.dropped`` counts
-        capacity overflow."""
-        from skellysim_tpu.kernels.ewald_near_pallas import make_plan
+        """Positions-only cluster pairlist (ClusterPlan). Positions are
+        fixed for a whole timestep, so the System builds this once per step
+        and shares it across every GMRES iteration; ``plan.dropped`` counts
+        pairlist overflow."""
+        from skellysim_tpu.kernels.ewald_near_cluster import make_plan
 
         dt = self.dtype
         return make_plan(r_src.astype(dt), r_trg.astype(dt),
-                         jnp.asarray(self.lo, dt), self.cell, self.n_cells,
-                         self.cap, self.cap_t)
+                         jnp.asarray(self.lo, dt), self.r_cut, self.pair_cap)
 
     def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0, plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""
-        from skellysim_tpu.kernels.ewald_near_pallas import near_apply_plan
+        from skellysim_tpu.kernels.ewald_near_cluster import near_apply_plan
 
         dt = self.dtype
         grid = self.grid._replace(khat=spectra["khat"],
@@ -932,18 +935,18 @@ class EwaldStresslet:
     def __init__(self, lo, hi, a: float, points_per_a: float = 2.5,
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
-                 slab_cap: int = None, cap_t: int = None):
+                 slab_cap: int = None, cap_t: int = None,
+                 pair_cap: int = 128):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
-        # near-field cell capacity and far-field x-slab capacity: both drop
-        # overflow points, both cost linearly — size from geometry when
-        # known (see System._ewald_objects) rather than worst-case; overflow
-        # is COUNTED (NearPlan.dropped, slab_dropped) so callers can regrow
+        # legacy cell-list capacity (the `_near_apply` reference path) and
+        # far-field x-slab capacity — see EwaldStokeslet
         self.cap = int(cap)
         self.cap_t = int(cap_t) if cap_t is not None else int(cap)
         self.slab_cap = slab_cap
+        self.pair_cap = int(pair_cap)
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
         self.cell = self.r_cut
@@ -957,16 +960,15 @@ class EwaldStresslet:
 
     def make_near_plan(self, r_src, r_trg):
         """See ``EwaldStokeslet.make_near_plan``."""
-        from skellysim_tpu.kernels.ewald_near_pallas import make_plan
+        from skellysim_tpu.kernels.ewald_near_cluster import make_plan
 
         dt = self.dtype
         return make_plan(r_src.astype(dt), r_trg.astype(dt),
-                         jnp.asarray(self.lo, dt), self.cell, self.n_cells,
-                         self.cap, self.cap_t)
+                         jnp.asarray(self.lo, dt), self.r_cut, self.pair_cap)
 
     def apply_with(self, spectra, r_src, S, r_trg, eta=1.0, plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""
-        from skellysim_tpu.kernels.ewald_near_pallas import near_apply_plan
+        from skellysim_tpu.kernels.ewald_near_cluster import near_apply_plan
 
         dt = self.dtype
         grid = self.grid._replace(khat=spectra["khat"],

@@ -69,11 +69,15 @@ class Shell:
     """Host wrapper: shape metadata + the ShellState pytree."""
 
     def __init__(self, state: ShellState, shape: str = SHAPE_GENERIC,
-                 radius: float = 0.0, abc=(0.0, 0.0, 0.0)):
+                 radius: float = 0.0, abc=(0.0, 0.0, 0.0),
+                 meridian: np.ndarray = None):
         self.state = state
         self.shape = shape
         self.radius = radius
         self.abc = tuple(abc)
+        # (2, S+1) meridian polyline for surface-of-revolution walls; the
+        # runtime interaction geometry (collision/repulsion/binding)
+        self.meridian = meridian
 
     @staticmethod
     def from_precompute(periphery_table: dict, dtype=jnp.float64) -> "Shell":
@@ -92,7 +96,10 @@ class Shell:
         abc = (float(periphery_table.get("a", 0.0)),
                float(periphery_table.get("b", 0.0)),
                float(periphery_table.get("c", 0.0)))
-        return Shell(state, shape=shape, radius=radius, abc=abc)
+        meridian = (revolution_meridian(periphery_table["envelope"])
+                    if periphery_table.get("envelope") else None)
+        return Shell(state, shape=shape, radius=radius, abc=abc,
+                     meridian=meridian)
 
 
 def newton_schulz_inverse(A: jax.Array, iters: int = 60,
@@ -234,7 +241,9 @@ def shell_from_geometry(periphery_table: dict, dtype=jnp.float32) -> "Shell":
                  radius=float(periphery_table.get("radius", 0.0)),
                  abc=(float(periphery_table.get("a", 0.0)),
                       float(periphery_table.get("b", 0.0)),
-                      float(periphery_table.get("c", 0.0))))
+                      float(periphery_table.get("c", 0.0))),
+                 meridian=(revolution_meridian(periphery_table["envelope"])
+                           if periphery_table.get("envelope") else None))
 
 
 # ---- pure jit-safe operations ----
@@ -319,6 +328,103 @@ def sphere_fiber_repulsion(radius: float, x: jax.Array, skip_first: jax.Array,
     # dr points from the wall to the node; |dr| = radius − r
     f = -f0 * u_hat * jnp.exp(-(radius - r) / l0)[..., None]
     f = jnp.where(inside[..., None], f, 0.0)
+    node_idx = jnp.arange(x.shape[1])[None, :]
+    mask = jnp.logical_or(node_idx > 0, ~skip_first[:, None])
+    return jnp.where(mask[..., None], f, 0.0)
+
+
+def revolution_meridian(envelope: dict, n_seg: int = 512) -> np.ndarray:
+    """Tabulate the meridian polyline of a surface of revolution, (2, n_seg+1).
+
+    Row 0 is x (the symmetry axis), row 1 is the envelope height h(x) ≥ 0.
+    The polyline is the runtime stand-in for the arbitrary user height
+    function: every wall query (collision, steric repulsion, binding
+    proximity) becomes a point-to-polyline distance in the (x, ρ) meridian
+    plane — static-shape, branch-free work the TPU vectorizes trivially.
+    The reference's GenericPeriphery leaves all of these as warn-stubs
+    (periphery.cpp:265-335); this implements the real geometry.
+    """
+    from skellysim_tpu.precompute.main import _envelope_height_fn
+
+    h = _envelope_height_fn(envelope)
+    lb, ub = float(envelope["lower_bound"]), float(envelope["upper_bound"])
+    eps = (ub - lb) * 1e-7
+    x = np.linspace(lb, ub, n_seg + 1)
+    hx = np.maximum(np.asarray(h(np.clip(x, lb + eps, ub - eps)), np.float64),
+                    0.0)
+    # closed surface: force the meridian to meet the axis at both ends so
+    # the polyline caps the ends (points beyond them read as outside)
+    hx[0] = 0.0
+    hx[-1] = 0.0
+    return np.stack([x, hx])
+
+
+def _meridian_closest(meridian: jax.Array, px: jax.Array, rho: jax.Array):
+    """Closest point on the meridian polyline to 2-D points (px, ρ).
+
+    meridian: (2, S+1); px/rho: (...,). Returns (cx, ch, d) — the closest
+    polyline point and the distance. Dense over all S segments: at fiber
+    counts (10⁵ points × 512 segments) this is ~10⁸ fused multiply-adds,
+    microseconds of VPU time, once per step.
+    """
+    mx, mh = meridian[0], meridian[1]
+    x0, h0 = mx[:-1], mh[:-1]
+    dxs, dhs = mx[1:] - x0, mh[1:] - h0
+    L2 = jnp.maximum(dxs * dxs + dhs * dhs, 1e-300)
+    shape = px.shape
+    p = px.reshape(-1, 1)
+    r = rho.reshape(-1, 1)
+    t = ((p - x0) * dxs + (r - h0) * dhs) / L2
+    t = jnp.clip(t, 0.0, 1.0)
+    cx = x0 + t * dxs
+    ch = h0 + t * dhs
+    d2 = (p - cx) ** 2 + (r - ch) ** 2
+    j = jnp.argmin(d2, axis=1)
+    pick = lambda a: jnp.take_along_axis(a, j[:, None], axis=1)[:, 0]
+    return (pick(cx).reshape(shape), pick(ch).reshape(shape),
+            jnp.sqrt(pick(d2)).reshape(shape))
+
+
+def revolution_wall_gap(meridian: jax.Array, points: jax.Array):
+    """Signed distance to the revolution wall: positive inside, negative
+    outside (matching the sphere's gap = R − r convention). Also returns the
+    closest wall point (..., 3) for repulsion directions."""
+    px = points[..., 0]
+    rho = jnp.sqrt(points[..., 1] ** 2 + points[..., 2] ** 2)
+    cx, ch, d = _meridian_closest(meridian, px, rho)
+    h_at = jnp.interp(px, meridian[0], meridian[1])
+    inside = (px > meridian[0, 0]) & (px < meridian[0, -1]) & (rho < h_at)
+    gap = jnp.where(inside, d, -d)
+    safe_rho = jnp.where(rho > 0, rho, 1.0)
+    ey = jnp.where(rho > 0, points[..., 1] / safe_rho, 0.0)
+    ez = jnp.where(rho > 0, points[..., 2] / safe_rho, 1.0)
+    closest = jnp.stack([cx, ch * ey, ch * ez], axis=-1)
+    return gap, closest
+
+
+def revolution_collision(meridian: jax.Array, points: jax.Array,
+                         threshold) -> jax.Array:
+    """True if any point comes within ``threshold`` of the revolution wall
+    (or has already crossed it) — the generic-periphery point-cloud check
+    the reference stubs out (periphery.cpp:306-320)."""
+    gap, _ = revolution_wall_gap(meridian, points)
+    return jnp.any(gap <= threshold)
+
+
+def revolution_fiber_repulsion(meridian: jax.Array, x: jax.Array,
+                               skip_first: jax.Array, f0, l0) -> jax.Array:
+    """Exponential steric wall force for revolution shells.
+
+    Same force law as the sphere/ellipsoid versions (periphery.cpp:140-162):
+    f = f0 · (dr/|dr|) · e^{−gap/l0} on nodes inside the wall, where dr
+    points from the closest wall point to the node (inward). x: (B, n, 3).
+    """
+    gap, closest = revolution_wall_gap(meridian, x)      # (B, n), (B, n, 3)
+    dr = x - closest
+    d = jnp.linalg.norm(dr, axis=-1)
+    safe_d = jnp.where(d > 0, d, 1.0)
+    f = f0 * dr / safe_d[..., None] * jnp.exp(-gap / l0)[..., None]
+    f = jnp.where((gap > 0)[..., None] & (d > 0)[..., None], f, 0.0)
     node_idx = jnp.arange(x.shape[1])[None, :]
     mask = jnp.logical_or(node_idx > 0, ~skip_first[:, None])
     return jnp.where(mask[..., None], f, 0.0)

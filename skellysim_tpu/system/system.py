@@ -62,6 +62,36 @@ def select_evaluators(pair_evaluator: str):
     return None, None
 
 
+def _pairlist_rowmax(pts: np.ndarray, lo, r_cut: float) -> int:
+    """Max candidate source clusters per target cluster of the cluster
+    pairlist (host replica of ewald_near_cluster.make_plan's bbox test),
+    used to size pair_cap from the initial geometry."""
+    Ccl = 128
+    ci = np.clip(((pts - np.asarray(lo)[None, :]) / r_cut).astype(np.int64),
+                 0, 1023)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    key = (spread(ci[:, 0]) << 2) | (spread(ci[:, 1]) << 1) | spread(ci[:, 2])
+    ps = pts[np.argsort(key, kind="stable")]
+    n = ps.shape[0]
+    n_cl = -(-n // Ccl)
+    pad = n_cl * Ccl - n
+    ps = np.concatenate([ps, np.full((pad, 3), np.nan)], axis=0)
+    rc = ps.reshape(n_cl, Ccl, 3)
+    lo_b = np.nanmin(rc, axis=1)
+    hi_b = np.nanmax(rc, axis=1)
+    gap = np.maximum(0.0, np.maximum(lo_b[None, :, :] - hi_b[:, None, :],
+                                     lo_b[:, None, :] - hi_b[None, :, :]))
+    cand = np.sum(gap * gap, axis=-1) <= r_cut * r_cut
+    return int(cand.sum(axis=1).max())
+
+
 class Params:
     """Runtime parameters with the reference's C++ fallback defaults
     (src/core/params.cpp:3-20)."""
@@ -238,7 +268,9 @@ class System:
             ci = np.floor((pts - ev.lo[None, :]) / ev.cell).astype(int)
             key = ((ci[:, 0] * ev.n_cells[1] + ci[:, 1]) * ev.n_cells[2]
                    + ci[:, 2])
-            return _round_up(2.0 * np.bincount(key).max() + 32, 64)
+            # 128-quantized: the Pallas near kernel tiles targets in
+            # 128-lane blocks and keeps sources on full 128-multiple lanes
+            return _round_up(2.0 * np.bincount(key).max() + 32, 128)
 
         stk.cap = _near_cap(allp, stk)
         # stresslet sources are only the shell/body surfaces — far sparser
@@ -247,10 +279,17 @@ class System:
             surf.append(np.asarray(bcont.positions(caches)).reshape(-1, 3))
         st.cap = (_near_cap(np.concatenate(surf, axis=0), st)
                   if surf else stk.cap)
+        stk.cap_t = st.cap_t = _near_cap(allp, stk)
+        # cluster-pairlist width: measure the candidate-pair row maximum of
+        # the initial geometry (conservatively src = trg = all points) and
+        # add 1.5× headroom — a mid-run regrow means a full recompile on a
+        # remote-compile backend, so size generously up front
+        rowmax = _pairlist_rowmax(allp, stk.lo, stk.r_cut)
+        stk.pair_cap = st.pair_cap = _round_up(1.5 * rowmax + 8, 8)
         logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s "
-                    "slab_cap=%d near_caps=(%d,%d)",
+                    "slab_cap=%d near_caps=(%d,%d) pair_cap=%d",
                     np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape,
-                    stk.slab_cap, stk.cap, st.cap)
+                    stk.slab_cap, stk.cap, st.cap, stk.pair_cap)
         if (self.dtype == jnp.float32 and self.params.gmres_tol < 1e-4):
             logger.warning(
                 "gmres_tol %.1e is below the f32 spectral-Ewald evaluator "
@@ -284,6 +323,9 @@ class System:
         shell_shape = self.shell.shape if has_shell else None
         shell_radius = self.shell.radius if has_shell else 0.0
         shell_abc = self.shell.abc if has_shell else (0.0, 0.0, 0.0)
+        shell_meridian = (jnp.asarray(self.shell.meridian, self.dtype)
+                          if has_shell and self.shell.meridian is not None
+                          else None)
         pb = p.periphery_binding
         pb_active = bool(pb["active"]) and has_shell
         fp_f0, fp_l0 = p.fp_f0, p.fp_l0
@@ -296,6 +338,9 @@ class System:
                 return shell_ops.sphere_collision(shell_radius, points, threshold)
             if shell_shape == "ellipsoid":
                 return shell_ops.ellipsoid_collision(shell_abc, points, threshold)
+            if shell_meridian is not None:
+                return shell_ops.revolution_collision(shell_meridian, points,
+                                                      threshold)
             return jnp.asarray(False)
 
         def _repulsion(block):
@@ -304,6 +349,9 @@ class System:
                 return shell_ops.sphere_fiber_repulsion(shell_radius, block.x, skip, fp_f0, fp_l0)
             if shell_shape == "ellipsoid":
                 return shell_ops.ellipsoid_fiber_repulsion(shell_abc, block.x, skip, fp_f0, fp_l0)
+            if shell_meridian is not None:
+                return shell_ops.revolution_fiber_repulsion(
+                    shell_meridian, block.x, skip, fp_f0, fp_l0)
             return jnp.zeros_like(block.x)
 
         has_bodies = self.bodies.n_bodies > 0
@@ -506,6 +554,8 @@ class System:
         shape = self.shell.shape
         radius = self.shell.radius
         abc = self.shell.abc
+        meridian = (jnp.asarray(self.shell.meridian, self.dtype)
+                    if self.shell.meridian is not None else None)
 
         @jax.jit
         def collide(blocks):
@@ -524,6 +574,11 @@ class System:
                         hit = shell_ops.ellipsoid_collision(abc, body, 0.0)
                         hit_first = jnp.logical_and(
                             ~skip, shell_ops.ellipsoid_collision(abc, xf[0:1], 0.0))
+                    elif meridian is not None:
+                        hit = shell_ops.revolution_collision(meridian, body, 0.0)
+                        hit_first = jnp.logical_and(
+                            ~skip,
+                            shell_ops.revolution_collision(meridian, xf[0:1], 0.0))
                     else:
                         hit = jnp.asarray(False)
                         hit_first = jnp.asarray(False)
@@ -547,6 +602,9 @@ class System:
         shell_shape = self.shell.shape if has_shell else None
         shell_radius = self.shell.radius if has_shell else 0.0
         shell_abc = self.shell.abc if has_shell else (0.0, 0.0, 0.0)
+        shell_meridian = (jnp.asarray(self.shell.meridian, self.dtype)
+                          if has_shell and self.shell.meridian is not None
+                          else None)
         fp_f0, fp_l0 = p.fp_f0, p.fp_l0
         interaction = p.periphery_interaction_flag and has_shell
 
@@ -596,6 +654,9 @@ class System:
                         elif shell_shape == "ellipsoid":
                             f = f + shell_ops.ellipsoid_fiber_repulsion(
                                 shell_abc, b.x, skip, fp_f0, fp_l0)
+                        elif shell_meridian is not None:
+                            f = f + shell_ops.revolution_fiber_repulsion(
+                                shell_meridian, b.x, skip, fp_f0, fp_l0)
                     f_parts.append(f.reshape(-1, 3))
                 f_nodes = jnp.concatenate(f_parts, axis=0)
                 u = u + fs.flow(blocks, ops, r_trg, f_nodes, eta,
@@ -679,6 +740,14 @@ class System:
         thr = pb["threshold"]
         if self.shell.shape == "sphere":
             near = np.any(np.linalg.norm(x, axis=-1) >= self.shell.radius - thr, axis=1)
+        elif self.shell.shape == "ellipsoid":
+            near = np.asarray(jax.vmap(
+                lambda xf: shell_ops.ellipsoid_collision(
+                    self.shell.abc, xf, thr))(jnp.asarray(x)))
+        elif self.shell.meridian is not None:
+            gap, _ = shell_ops.revolution_wall_gap(
+                jnp.asarray(self.shell.meridian), jnp.asarray(x))
+            near = np.asarray(gap <= thr).any(axis=1)
         else:
             near = np.zeros(block.n_fibers, bool)
         return ((angle >= pb["polar_angle_start"]) & (angle <= pb["polar_angle_end"])
@@ -779,9 +848,9 @@ class System:
             ev.cap = 2 * ev.cap
             ev.cap_t = 2 * ev.cap_t
             ev.slab_cap = 2 * ev.slab_cap
-        logger.warning("ewald capacity overflow: regrown to near=(%d,%d)/"
-                       "(%d,%d) slab=%d and recompiling",
-                       stk.cap, stk.cap_t, st.cap, st.cap_t, stk.slab_cap)
+            ev.pair_cap = 2 * ev.pair_cap
+        logger.warning("ewald capacity overflow: regrown to pair_cap=%d "
+                       "slab=%d and recompiling", stk.pair_cap, stk.slab_cap)
         self._step_fn = self._build_step_fn()
         self._velocity_fn = self._build_velocity_fn()
 
@@ -825,27 +894,91 @@ class System:
         )
         return err, bool(conv)
 
+    def _body_cloud(self, body) -> np.ndarray:
+        """Lab-frame surface node positions of one body (host copy)."""
+        from skellysim_tpu.body import rigid
+
+        nodes, _, _ = rigid.place(body.state)
+        return np.asarray(nodes)
+
+    def _body_vs_periphery(self, body, thr: float) -> bool:
+        """Body↔periphery collision, full shape matrix.
+
+        The reference only implements sphere-in-sphere and warn-stubs the
+        rest (body_spherical.cpp:283-331, periphery.cpp:94-320); here every
+        pair is real: exact center-distance checks where the geometry allows,
+        the body's surface node cloud through the periphery point-cloud
+        check otherwise.
+        """
+        sh = self.shell
+        if sh.shape == "sphere":
+            if body.shape == "sphere":
+                # exact (periphery.cpp:94-97)
+                dist = float(np.linalg.norm(np.asarray(body.state.position)))
+                return dist + body.radius > sh.radius - thr
+            return bool(shell_ops.sphere_collision(
+                sh.radius, jnp.asarray(self._body_cloud(body)), thr))
+        if sh.shape == "ellipsoid":
+            if body.shape == "sphere":
+                # scaled-angle heuristic with the body radius folded into the
+                # threshold (the reference's ellipsoid-periphery convention,
+                # periphery.cpp:204-224, applied at the body center)
+                return bool(shell_ops.ellipsoid_collision(
+                    sh.abc, jnp.asarray(body.state.position)[None, :],
+                    thr + body.radius))
+            return bool(shell_ops.ellipsoid_collision(
+                sh.abc, jnp.asarray(self._body_cloud(body)), thr))
+        if sh.meridian is not None:
+            mer = jnp.asarray(sh.meridian)
+            if body.shape == "sphere":
+                gap, _ = shell_ops.revolution_wall_gap(
+                    mer, jnp.asarray(body.state.position)[None, :])
+                return bool(gap[0] <= thr + body.radius)
+            return bool(shell_ops.revolution_collision(
+                mer, jnp.asarray(self._body_cloud(body)), thr))
+        return False
+
+    @staticmethod
+    def _cloud_inside_body(cloud: np.ndarray, body, thr: float) -> bool:
+        """Any point of ``cloud`` within ``thr`` of (or inside) ``body``."""
+        from skellysim_tpu.utils.quaternion import quat_rotate
+
+        c = np.asarray(body.state.position)
+        d = cloud - c[None, :]
+        if body.shape == "sphere":
+            return bool((np.linalg.norm(d, axis=-1) < body.radius + thr).any())
+        # rotate into the body frame and test the scaled implicit surface
+        # (axis_length entries are semi-axes, reference precompute.py:198-213)
+        q = jnp.asarray(body.state.orientation)
+        qc = jnp.concatenate([q[:1], -q[1:]])     # conjugate: lab → body
+        db = np.asarray(jax.vmap(lambda v: quat_rotate(qc, v))(jnp.asarray(d)))
+        ax = np.asarray(body.axes) + thr
+        return bool((np.sum((db / ax) ** 2, axis=-1) < 1.0).any())
+
+    def _body_vs_body(self, b1, b2, thr: float) -> bool:
+        """Body↔body collision (double dispatch, body_spherical.cpp:304-331;
+        non-sphere pairs are warn-stubs there, real surface tests here)."""
+        if b1.shape == "sphere" and b2.shape == "sphere":
+            d = np.linalg.norm(np.asarray(b1.state.position)
+                               - np.asarray(b2.state.position))
+            return d < b1.radius + b2.radius + thr
+        return (self._cloud_inside_body(self._body_cloud(b1), b2, thr)
+                or self._cloud_inside_body(self._body_cloud(b2), b1, thr))
+
     def check_collision(self) -> bool:
         """Any collision: fibers↔periphery, bodies↔periphery, body↔body
-        (system.cpp:576-595)."""
+        (system.cpp:576-595; threshold 0 as in the reference)."""
         if self._collision_fn is not None and bool(self._collision_fn(self.fibers.blocks)):
             return True
         bodies = self.bodies.bodies
-        # body vs spherical periphery (periphery.cpp:94-97)
-        if self.shell is not None and self.shell.shape == "sphere":
+        if self.shell is not None:
             for b in bodies:
-                if b.shape == "sphere":
-                    dist = float(np.linalg.norm(np.asarray(b.state.position))) + b.radius
-                    if dist > self.shell.radius:
-                        return True
-        # body vs body (spheres only, body_spherical.cpp:304-307)
+                if self._body_vs_periphery(b, 0.0):
+                    return True
         for i, b1 in enumerate(bodies):
             for b2 in bodies[i + 1:]:
-                if b1.shape == "sphere" and b2.shape == "sphere":
-                    d = np.linalg.norm(np.asarray(b1.state.position)
-                                       - np.asarray(b2.state.position))
-                    if d < b1.radius + b2.radius:
-                        return True
+                if self._body_vs_body(b1, b2, 0.0):
+                    return True
         return False
 
     def run(self):

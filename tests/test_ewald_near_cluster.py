@@ -1,0 +1,169 @@
+"""Cluster-pairlist near-field kernel: plan binning, XLA↔legacy↔Pallas
+parity, overflow accounting.
+
+The plan-based evaluation must reproduce the legacy per-target cell-list
+sum (`ewald._near_apply`), and the Pallas kernel (interpret mode on CPU)
+must match the XLA cluster oracle at f32 tolerance — mirroring the
+reference's GPU-vs-CPU kernel parity discipline (tests/core/kernel_test.cpp).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from skellysim_tpu.kernels import ewald
+from skellysim_tpu.kernels import ewald_near_cluster as enc
+
+RNG = np.random.default_rng(1229)
+
+
+def _setup(n_src=700, n_trg=500, a=0.22, span=2.0, pair_cap=64):
+    r_src = jnp.asarray(RNG.uniform(0, span, (n_src, 3)))
+    r_trg = jnp.asarray(RNG.uniform(0, span, (n_trg, 3)))
+    r_cut = 3.5 * a
+    lo = jnp.asarray([-2 * r_cut] * 3)
+    plan = enc.make_plan(r_src, r_trg, lo, r_cut, pair_cap)
+    return r_src, r_trg, lo, r_cut, plan, a
+
+
+def _legacy_cells(span, r_cut):
+    n_cells = tuple(int(np.ceil((span + 4 * r_cut) / r_cut)) for _ in range(3))
+    return n_cells
+
+
+def test_plan_no_overflow_and_inverse_map():
+    r_src, r_trg, lo, r_cut, plan, a = _setup()
+    assert int(plan.dropped) == 0
+    # inverse map: every target recovers its own position from the stores
+    back = enc.unbin_targets(plan, plan.trg_r)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(r_trg), rtol=0,
+                               atol=0)
+    # payload round trip: sum over cluster stores equals sum over sources
+    f = jnp.asarray(RNG.normal(size=(r_src.shape[0], 3)))
+    binned = enc.bin_payload(plan, f)
+    np.testing.assert_allclose(float(jnp.sum(binned)), float(jnp.sum(f)),
+                               rtol=1e-12)
+
+
+def test_plan_xla_matches_legacy_stokeslet():
+    r_src, r_trg, lo, r_cut, plan, a = _setup()
+    f = jnp.asarray(RNG.normal(size=(r_src.shape[0], 3)))
+    want = np.asarray(ewald._near_apply(r_src, f, r_trg, lo, r_cut,
+                                        _legacy_cells(2.0, r_cut), 128, a))
+    got = np.asarray(enc.near_apply_plan(plan, f, a, kind="stokeslet",
+                                         use_pallas=False))
+    # the two keep different beyond-r_cut tails (cell list: everything in
+    # 27 cells; pairlist: bbox-pruned) — agreement is bounded by the
+    # screened truncation scale erfc(3.5) ≈ 7e-7, not roundoff
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_plan_xla_matches_legacy_stresslet():
+    r_src, r_trg, lo, r_cut, plan, a = _setup()
+    S = jnp.asarray(RNG.normal(size=(r_src.shape[0], 9)))
+    want = np.asarray(ewald._near_apply(r_src, S, r_trg, lo, r_cut,
+                                        _legacy_cells(2.0, r_cut), 128, a,
+                                        kernel="stresslet"))
+    got = np.asarray(enc.near_apply_plan(plan, S, a, kind="stresslet",
+                                         use_pallas=False))
+    # truncation-tail tolerance — see the stokeslet variant
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_plan_self_targets_coincident_correction():
+    """sources == targets: the −f_far(0) self correction must appear exactly
+    once per point (the r = 0 pair with itself)."""
+    a = 0.25
+    r = jnp.asarray(RNG.uniform(0, 1.5, (300, 3)))
+    f = jnp.asarray(RNG.normal(size=(300, 3)))
+    r_cut = 3.5 * a
+    lo = jnp.asarray([-2 * r_cut] * 3)
+    n_cells = tuple(int(np.ceil((1.5 + 4 * r_cut) / r_cut)) for _ in range(3))
+    plan = enc.make_plan(r, r, lo, r_cut, 64)
+    want = np.asarray(ewald._near_apply(r, f, r, lo, r_cut, n_cells, 128, a))
+    got = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=False))
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("kind,K", [("stokeslet", 3), ("stresslet", 9)])
+def test_pallas_matches_xla(kind, K):
+    r_src, r_trg, lo, r_cut, plan, a = _setup()
+    pay = jnp.asarray(RNG.normal(size=(r_src.shape[0], K)))
+    want = np.asarray(enc.near_apply_plan(plan, pay, a, kind=kind,
+                                          use_pallas=False))
+    got = np.asarray(enc.near_apply_plan(plan, pay, a, kind=kind,
+                                         use_pallas=True, interpret=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=3e-5 * scale)
+
+
+def test_pallas_chunked_targets():
+    """More target clusters than one pallas_call row-chunk: the lax.map
+    chunking path must agree with the oracle."""
+    import skellysim_tpu.kernels.ewald_near_cluster as mod
+
+    old = mod._ROWS_PER_CALL
+    mod._ROWS_PER_CALL = 2
+    try:
+        r_src, r_trg, lo, r_cut, plan, a = _setup(n_src=900, n_trg=900)
+        assert plan.trg_r.shape[0] > 4
+        f = jnp.asarray(RNG.normal(size=(r_src.shape[0], 3)))
+        want = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=False))
+        got = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=True,
+                                             interpret=True))
+        np.testing.assert_allclose(got, want, atol=3e-5 * np.abs(want).max())
+    finally:
+        mod._ROWS_PER_CALL = old
+
+
+def test_overflow_is_counted_not_silent():
+    """An undersized pairlist must be REPORTED via plan.dropped — the
+    failure mode the reference's FMM cannot have (VERDICT missing #3)."""
+    a = 0.2
+    r_cut = 3.5 * a
+    # everything within r_cut of everything: candidate rows = all clusters
+    pts = jnp.asarray(RNG.uniform(0.0, 0.5, (600, 3)))
+    lo = jnp.asarray([-2 * r_cut] * 3)
+    plan1 = enc.make_plan(pts, pts, lo, r_cut, 1)
+    # 5 source clusters all candidates of every target cluster, cap 1
+    assert int(plan1.dropped) > 0
+    plan_ok = enc.make_plan(pts, pts, lo, r_cut, 8)
+    assert int(plan_ok.dropped) == 0
+    # the under-capacity plan also computes the WRONG answer — proving the
+    # count is load-bearing
+    f = jnp.asarray(RNG.normal(size=(600, 3)))
+    u_bad = enc.near_apply_plan(plan1, f, a, use_pallas=False)
+    u_ok = enc.near_apply_plan(plan_ok, f, a, use_pallas=False)
+    assert float(jnp.max(jnp.abs(u_bad - u_ok))) > 1e-6
+
+
+def test_slab_dropped_counts():
+    pts = jnp.asarray(np.concatenate([
+        RNG.uniform(0, 1, (50, 3)),
+        np.tile([[0.5, 0.5, 0.5]], (40, 1)) + RNG.uniform(0, 1e-3, (40, 3)),
+    ]))
+    lo = jnp.asarray([0.0, 0.0, 0.0])
+    h = 0.1
+    dropped = ewald.slab_dropped(pts, lo, h, 11, cap=16)
+    key = np.clip(np.floor(np.asarray(pts[:, 0]) / h + 0.5).astype(int), 0, 10)
+    want = sum(max(0, c - 16) for c in np.bincount(key, minlength=11))
+    assert int(dropped) == want > 0
+
+
+def test_evaluator_apply_uses_plan_path():
+    """EwaldStokeslet.apply end-to-end still matches the dense evaluator
+    after the near field moved to the cluster-plan path."""
+    from skellysim_tpu.kernels.reference import stokeslet_apply
+
+    rng = np.random.default_rng(17)
+    N = 300
+    pts = jnp.asarray(rng.uniform(0, 2.0, (N, 3)))
+    f = jnp.asarray(rng.normal(size=(N, 3)))
+    ew = ewald.EwaldStokeslet(lo=[0, 0, 0], hi=[2, 2, 2], a=0.25,
+                              dtype=jnp.float64)
+    got = np.asarray(ew.apply(pts, f, pts, 0.7))
+    want = np.asarray(stokeslet_apply(pts, f, pts, 0.7))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4

@@ -53,14 +53,13 @@ def test_ewald_overflow_triggers_regrow_not_silence():
     stk, st = s._ewald_objects()
     # sabotage: shrink capacities far below the real occupancy
     for ev in (stk, st):
-        ev.cap = 8
-        ev.cap_t = 8
         ev.slab_cap = 8
-    caps_before = (stk.cap, stk.cap_t, stk.slab_cap)
+        ev.pair_cap = 1
+    caps_before = (stk.pair_cap, stk.slab_cap)
     s._step_fn = s._build_step_fn()
     r = s.step()
     assert bool(r[1])
-    assert (stk.cap, stk.cap_t, stk.slab_cap) > caps_before
+    assert (stk.pair_cap, stk.slab_cap) > caps_before
 
     s_direct = _build("direct")
     s_direct.step()
