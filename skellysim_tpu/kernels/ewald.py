@@ -857,7 +857,7 @@ class EwaldStokeslet:
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
-                 pair_cap: int = 128):
+                 pair_total: int = 65536):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
@@ -869,9 +869,9 @@ class EwaldStokeslet:
         self.cap = int(cap)
         self.cap_t = int(cap_t) if cap_t is not None else int(cap)
         self.slab_cap = slab_cap
-        # cluster-pairlist width (production near field): candidate source
-        # clusters per target cluster
-        self.pair_cap = int(pair_cap)
+        # COO cluster-pairlist capacity (production near field): total
+        # candidate cluster pairs across all targets
+        self.pair_total = int(pair_total)
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
         self.cell = self.r_cut
@@ -895,7 +895,8 @@ class EwaldStokeslet:
 
         dt = self.dtype
         return make_plan(r_src.astype(dt), r_trg.astype(dt),
-                         jnp.asarray(self.lo, dt), self.r_cut, self.pair_cap)
+                         jnp.asarray(self.lo, dt), self.r_cut,
+                         self.pair_total)
 
     def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0, plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""
@@ -936,7 +937,7 @@ class EwaldStresslet:
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
-                 pair_cap: int = 128):
+                 pair_total: int = 65536):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
@@ -946,7 +947,7 @@ class EwaldStresslet:
         self.cap = int(cap)
         self.cap_t = int(cap_t) if cap_t is not None else int(cap)
         self.slab_cap = slab_cap
-        self.pair_cap = int(pair_cap)
+        self.pair_total = int(pair_total)
         self.lo = np.asarray(lo, np.float64) - 2 * self.r_cut
         hi = np.asarray(hi, np.float64) + 2 * self.r_cut
         self.cell = self.r_cut
@@ -964,7 +965,8 @@ class EwaldStresslet:
 
         dt = self.dtype
         return make_plan(r_src.astype(dt), r_trg.astype(dt),
-                         jnp.asarray(self.lo, dt), self.r_cut, self.pair_cap)
+                         jnp.asarray(self.lo, dt), self.r_cut,
+                         self.pair_total)
 
     def apply_with(self, spectra, r_src, S, r_trg, eta=1.0, plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""

@@ -8,19 +8,23 @@ module replaces cells with the cluster-pair scheme the molecular-dynamics
 community uses on wide-SIMD hardware (GROMACS' cluster pairlists), mapped to
 the TPU's 128-lane VPU:
 
-  * points Morton-sort once per step; every 128 CONSECUTIVE sorted points
-    form a cluster — no padding at all except the final partial cluster;
+  * points Morton-sort once per step — on cells of r_cut/4, so every 128
+    CONSECUTIVE sorted points form a spatially tight cluster with no
+    padding at all except the final partial cluster;
   * candidate cluster pairs come from bounding-box distances (conservative:
     bbox gap ≤ r_cut), a dense (n_tc, n_sc) test that is trivial at
     production sizes (10⁵ points → ~810² bools);
-  * per target cluster the candidate source-cluster ids compact into a
-    fixed-width neighbor list (PAIR_CAP slots, overflow COUNTED so the
-    caller regrows instead of silently losing interactions);
-  * the Pallas kernel's grid is (target_cluster, PAIR_CAP): the neighbor
-    table scalar-prefetches into SMEM and drives the source-block index
-    map, so the pipeline DMAs exactly the candidate clusters; the (128,128)
-    pair block and its temporaries live comfortably in VMEM. Large runs
-    chunk the target axis so the SMEM table stays under its 1 MB.
+  * the candidate pairs flatten into a RAGGED COO list sorted by target
+    cluster — (row, src, first-in-row) triples — so the kernel does exactly
+    as many (128, 128) blocks as there are candidate pairs: no per-row
+    width padding, no sensitivity to occupancy skew. Overflow of the
+    static list length is COUNTED so the caller regrows instead of
+    silently losing interactions;
+  * the Pallas kernel's grid is 1-D over the pair list: the three scalar
+    tables prefetch into SMEM and drive the source/target block index
+    maps, so the pipeline DMAs exactly the candidate clusters, and
+    consecutive same-row steps accumulate in VMEM without write-backs.
+    The list is chunked across pallas_calls to respect the 1 MB SMEM.
 
 erfc comes from the Abramowitz–Stegun 7.1.26 rational form, reusing the
 e^{−ρ²} the screened coefficients need anyway (|ε| ≤ 1.5e-7, below the f32
@@ -71,27 +75,33 @@ class ClusterPlan(NamedTuple):
     """Positions-only pairlist state, shared across the applies of a step.
 
     ``src_r``: (n_sc+1, 3, C) source cluster stores (slot n_sc is the
-    all-sentinel cluster that invalid neighbor slots point at).
-    ``src_order``: the Morton sort permutation, used to re-bin any payload
-    with one gather. ``trg_r``: (n_tc, 3, C) target cluster stores.
-    ``nbr``: (n_tc, P) candidate source-cluster ids. ``trg_inv``: inverse
+    all-sentinel cluster that padded pairs point at). ``src_order``: the
+    Morton sort permutation, used to re-bin any payload with one gather.
+    ``trg_r``: (n_tc+1, 3, C) target cluster stores (slot n_tc is the dummy
+    row padded pairs write to). ``rows``/``srcs``/``first``: the chunked
+    COO pair list — (n_chunks, CHUNK) target id, source id, and
+    first-pair-of-this-row-in-this-chunk flag. ``trg_inv``: inverse
     permutation scattering per-cluster results back to point order.
-    ``dropped``: pairlist-capacity overflow count — nonzero means candidate
-    pairs were LOST and the evaluation is wrong; callers regrow P.
+    ``dropped``: pair-list overflow count — nonzero means candidate pairs
+    were LOST and the evaluation is wrong; callers regrow the list.
     """
 
     src_r: jax.Array      # (n_sc+1, 3, C)
     src_order: jax.Array  # (N_s,)
-    trg_r: jax.Array      # (n_tc, 3, C)
-    nbr: jax.Array        # (n_tc, P) int32
+    trg_r: jax.Array      # (n_tc+1, 3, C)
+    rows: jax.Array       # (n_chunks, CHUNK) int32
+    srcs: jax.Array       # (n_chunks, CHUNK) int32
+    first: jax.Array      # (n_chunks, CHUNK) int32 (0/1)
     trg_inv: jax.Array    # (N_t,) flat index into (n_tc*C)
     dropped: jax.Array    # () int32
 
 
 def _morton_key(points, lo, cell):
-    """30-bit Morton code of the r_cut-cell coordinates (locality-preserving
-    sort key: consecutive points land in compact boxes → tight cluster
-    bounding boxes → few candidate pairs)."""
+    """30-bit Morton code on cells of ``cell`` (= r_cut/4: much finer than
+    the cutoff, so consecutive sorted points pack into compact boxes → tight
+    cluster bounding boxes → few candidate pairs; at r_cut granularity a
+    dense region puts ~10³ points in one key and clusters degrade to random
+    subsets with r_cut-sized bboxes)."""
     ci = jnp.clip(((points - lo[None, :]) / cell).astype(jnp.int32), 0, 1023)
 
     def spread(v):
@@ -125,18 +135,26 @@ def _clusterize(points, lo, cell):
     return order, rc.transpose(0, 2, 1), bbox_lo, bbox_hi
 
 
-@partial(jax.jit, static_argnames=("pair_cap",))
-def make_plan(r_src, r_trg, lo, r_cut, pair_cap: int) -> ClusterPlan:
+# COO pairs per pallas_call: the three prefetched SMEM tables cost
+# 12 B/pair; 32768 pairs → 384 KB, well under the 1 MB scalar memory
+_CHUNK = 32768
+
+
+@partial(jax.jit, static_argnames=("pair_total",))
+def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
     """Build the cluster pairlist (positions only).
 
     ``lo`` anchors the Morton grid (any point ≤ the geometry minimum);
-    ``r_cut`` is both the Morton cell size and the interaction cutoff;
-    ``pair_cap`` (static) is the neighbor-list width P.
+    ``r_cut`` is the interaction cutoff (Morton cells are r_cut/4);
+    ``pair_total`` (static) is the COO list capacity — candidate pairs
+    beyond it are dropped AND counted.
     """
     dtype = r_trg.dtype
-    s_order, src_rc, s_lo, s_hi = _clusterize(r_src.astype(dtype), lo, r_cut)
-    t_order, trg_rc, t_lo, t_hi = _clusterize(r_trg.astype(dtype), lo, r_cut)
+    cell = r_cut / 4.0
+    s_order, src_rc, s_lo, s_hi = _clusterize(r_src.astype(dtype), lo, cell)
+    t_order, trg_rc, t_lo, t_hi = _clusterize(r_trg.astype(dtype), lo, cell)
     n_sc = src_rc.shape[0]
+    n_tc = trg_rc.shape[0]
 
     # conservative candidate test: bbox gap ≤ r_cut in every axis
     gap = jnp.maximum(
@@ -144,20 +162,40 @@ def make_plan(r_src, r_trg, lo, r_cut, pair_cap: int) -> ClusterPlan:
                          t_lo[:, None, :] - s_hi[None, :, :]))
     cand = jnp.sum(gap * gap, axis=-1) <= r_cut * r_cut   # (n_tc, n_sc)
 
-    counts = jnp.sum(cand, axis=1)
-    # stable argsort of ¬cand puts the True columns first, in index order
-    p_eff = min(pair_cap, n_sc)
-    idx = jnp.argsort(~cand, axis=1, stable=True)[:, :p_eff]
-    idx = jnp.pad(idx, ((0, 0), (0, pair_cap - p_eff)), constant_values=n_sc)
-    slot_ok = jnp.arange(pair_cap)[None, :] < jnp.minimum(counts, pair_cap)[:, None]
-    nbr = jnp.where(slot_ok, idx, n_sc).astype(jnp.int32)
-    dropped = jnp.sum(jnp.maximum(counts - pair_cap, 0)).astype(jnp.int32)
+    # prepend an always-true sentinel column: every row then has ≥1 pair,
+    # which keeps each chunk's touched rows a CONTIGUOUS range (the
+    # coverage masks below rely on that) even for isolated empty rows
+    cand2 = jnp.concatenate(
+        [jnp.ones((n_tc, 1), bool), cand], axis=1)
+    total = jnp.sum(cand2).astype(jnp.int32)
+    dropped = jnp.maximum(total - pair_total, 0)
+
+    rows_f, cols_f = jnp.nonzero(cand2, size=pair_total,
+                                 fill_value=(n_tc, 0))
+    rows_f = rows_f.astype(jnp.int32)
+    srcs_f = jnp.where(cols_f == 0, n_sc, cols_f - 1).astype(jnp.int32)
+
+    chunk = min(_CHUNK, -(-pair_total // 128) * 128)
+    n_chunks = -(-pair_total // chunk)
+    pad = n_chunks * chunk - pair_total
+    rows_f = jnp.pad(rows_f, (0, pad), constant_values=n_tc)
+    srcs_f = jnp.pad(srcs_f, (0, pad), constant_values=n_sc)
+    rows_ch = rows_f.reshape(n_chunks, chunk)
+    srcs_ch = srcs_f.reshape(n_chunks, chunk)
+    # first-in-row PER CHUNK: a row straddling a chunk boundary re-inits in
+    # the next chunk's private output; the partial sums add up afterwards
+    prev = jnp.concatenate(
+        [jnp.full((n_chunks, 1), -1, jnp.int32), rows_ch[:, :-1]], axis=1)
+    first_ch = (rows_ch != prev).astype(jnp.int32)
 
     src_r = jnp.concatenate(
         [src_rc, jnp.full((1, 3, C), _SENTINEL, dtype)], axis=0)
+    trg_r = jnp.concatenate(
+        [trg_rc, jnp.full((1, 3, C), _SENTINEL, dtype)], axis=0)
     trg_inv = jnp.argsort(t_order)        # point p lives at flat slot inv[p]
-    return ClusterPlan(src_r=src_r, src_order=s_order, trg_r=trg_rc,
-                       nbr=nbr, trg_inv=trg_inv, dropped=dropped)
+    return ClusterPlan(src_r=src_r, src_order=s_order, trg_r=trg_r,
+                       rows=rows_ch, srcs=srcs_ch, first=first_ch,
+                       trg_inv=trg_inv, dropped=dropped)
 
 
 def bin_payload(plan: ClusterPlan, payload: jax.Array) -> jax.Array:
@@ -258,8 +296,9 @@ def _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a: float,
 # ---- Pallas kernel ----
 
 def _near_kernel(kind: str, a: float):
-    def kernel(nbr_ref, sr_ref, sf_ref, tr_ref, out_ref):
-        j = pl.program_id(1)
+    def kernel(rows_ref, srcs_ref, first_ref, sr_ref, sf_ref, tr_ref,
+               out_ref):
+        p = pl.program_id(0)
         tx = tr_ref[0, 0:1, :].T                           # (C, 1)
         ty = tr_ref[0, 1:2, :].T
         tz = tr_ref[0, 2:3, :].T
@@ -274,13 +313,13 @@ def _near_kernel(kind: str, a: float):
             s9 = tuple(sf_ref[0, k:k + 1, :] for k in range(9))
             ux, uy, uz = _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a)
 
-        @pl.when(j == 0)
+        @pl.when(first_ref[p] != 0)
         def _():
             out_ref[0, 0:1, :] = ux.T
             out_ref[0, 1:2, :] = uy.T
             out_ref[0, 2:3, :] = uz.T
 
-        @pl.when(j > 0)
+        @pl.when(first_ref[p] == 0)
         def _():
             out_ref[0, 0:1, :] = out_ref[0, 0:1, :] + ux.T
             out_ref[0, 1:2, :] = out_ref[0, 1:2, :] + uy.T
@@ -289,93 +328,99 @@ def _near_kernel(kind: str, a: float):
     return kernel
 
 
-# target-cluster rows per pallas_call: bounds the SMEM neighbor table to
-# rows × P × 4 B (≤ 512 KB at P = 128), well under the 1 MB scalar memory
-_ROWS_PER_CALL = 1024
-
-
 @partial(jax.jit, static_argnames=("kind", "a", "interpret"))
-def _near_clusters_pallas(src_r, src_f, trg_r, nbr, kind: str, a: float,
-                          interpret: bool = False):
-    """(n_tc, 3, C) per-cluster velocities via the pairlist grid. f32."""
-    n_tc = trg_r.shape[0]
-    P = nbr.shape[1]
-    K = src_f.shape[1]
-    flops = {"stokeslet": 30, "stresslet": 60}[kind]
+def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
+                          a: float, interpret: bool = False):
+    """(n_tc, 3, C) per-cluster velocities via the COO pairlist grid. f32.
 
-    rows = min(_ROWS_PER_CALL, max(n_tc, 1))
-    n_chunks = -(-n_tc // rows)
-    pad = n_chunks * rows - n_tc
-    if pad:
-        trg_r = jnp.concatenate(
-            [trg_r, jnp.full((pad, 3, C), _SENTINEL, trg_r.dtype)], axis=0)
-        nbr = jnp.concatenate(
-            [nbr, jnp.full((pad, P), src_r.shape[0] - 1, nbr.dtype)], axis=0)
+    One pallas_call per chunk; a chunk's output holds PARTIAL row sums for
+    the contiguous row range its pairs touch (everything else in its buffer
+    is never written), so each chunk is masked to its coverage and the
+    chunks summed.
+    """
+    n_tc1 = trg_r.shape[0]                                # n_tc + 1 (dummy)
+    n_chunks, chunk = rows.shape
+    flops = {"stokeslet": 30, "stresslet": 60}[kind]
+    K = src_f.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(rows, P),
+        num_scalar_prefetch=3,
+        grid=(chunk,),
         in_specs=[
-            pl.BlockSpec((1, 3, C), lambda i, j, nbr: (nbr[i, j], 0, 0),
+            pl.BlockSpec((1, 3, C), lambda p, rw, sc, fr: (sc[p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, C), lambda i, j, nbr: (nbr[i, j], 0, 0),
+            pl.BlockSpec((1, K, C), lambda p, rw, sc, fr: (sc[p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, C), lambda i, j, nbr: (i, 0, 0),
+            pl.BlockSpec((1, 3, C), lambda p, rw, sc, fr: (rw[p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, C), lambda i, j, nbr: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 3, C), lambda p, rw, sc, fr: (rw[p], 0, 0),
                                memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
         _near_kernel(kind, a),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, 3, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tc1, 3, C), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops * rows * P * C * C,
-            bytes_accessed=4 * rows * P * (3 + K) * C,
-            transcendentals=2 * rows * P * C * C,
+            flops=flops * chunk * C * C,
+            bytes_accessed=4 * chunk * (3 + K) * C,
+            transcendentals=2 * chunk * C * C,
         ),
         interpret=interpret,
     )
 
-    def one_chunk(args):
-        nbr_c, trg_c = args
-        return call(nbr_c, src_r, src_f, trg_c)
+    n_tc = n_tc1 - 1
+    row_ids = jnp.arange(n_tc1)
 
-    out = jax.lax.map(one_chunk, (nbr.reshape(n_chunks, rows, P),
-                                  trg_r.reshape(n_chunks, rows, 3, C)))
-    out = out.reshape(n_chunks * rows, 3, C)
+    def one_chunk(c, acc):
+        rw, sc, fr = rows[c], srcs[c], first[c]
+        out = call(rw, sc, fr, src_r, src_f, trg_r)
+        # coverage: the contiguous range of REAL rows this chunk touched
+        real = rw < n_tc
+        lo_r = jnp.min(jnp.where(real, rw, n_tc1))
+        hi_r = jnp.max(jnp.where(real, rw, -1))
+        m = (row_ids >= lo_r) & (row_ids <= hi_r)
+        return acc + jnp.where(m[:, None, None], out, 0.0)
+
+    acc0 = jnp.zeros((n_tc1, 3, C), jnp.float32)
+    out = jax.lax.fori_loop(0, n_chunks, one_chunk, acc0)
     return out[:n_tc]
 
 
-def _near_clusters_xla(src_r, src_f, trg_r, nbr, kind: str, a: float):
-    """Same pairlist computation in plain XLA (CPU path + parity oracle)."""
-    P = nbr.shape[1]
+def _near_clusters_xla(src_r, src_f, trg_r, rows, srcs, kind: str, a: float):
+    """Same COO pairlist computation in plain XLA (CPU path + parity
+    oracle): scan over pair sub-chunks, segment-add into the row blocks."""
+    rows_f = rows.reshape(-1)
+    srcs_f = srcs.reshape(-1)
+    total = rows_f.shape[0]
+    sub = 256
+    n_sub = -(-total // sub)
+    pad = n_sub * sub - total
+    rows_f = jnp.pad(rows_f, (0, pad), constant_values=trg_r.shape[0] - 1)
+    srcs_f = jnp.pad(srcs_f, (0, pad), constant_values=src_r.shape[0] - 1)
 
-    def one_cluster(args):
-        tr, nb = args                                      # (3, C), (P,)
+    def block(tr, sr, sf):
         tx, ty, tz = tr[0:1, :].T, tr[1:2, :].T, tr[2:3, :].T
-        srs = src_r[nb]                                    # (P, 3, C)
-        sfs = src_f[nb]
+        if kind == "stokeslet":
+            u = _stokeslet_block(tx, ty, tz, sr[0:1], sr[1:2], sr[2:3],
+                                 sf[0:1], sf[1:2], sf[2:3], a,
+                                 exact_erfc=True)
+        else:
+            s9 = tuple(sf[k:k + 1, :] for k in range(9))
+            u = _stresslet_block(tx, ty, tz, sr[0:1], sr[1:2], sr[2:3],
+                                 s9, a, exact_erfc=True)
+        return jnp.concatenate([u[0].T, u[1].T, u[2].T], axis=0)   # (3, C)
 
-        def body(c, acc):
-            sr = srs[c]
-            sf = sfs[c]
-            if kind == "stokeslet":
-                u = _stokeslet_block(tx, ty, tz, sr[0:1], sr[1:2], sr[2:3],
-                                     sf[0:1], sf[1:2], sf[2:3], a,
-                                     exact_erfc=True)
-            else:
-                s9 = tuple(sf[k:k + 1, :] for k in range(9))
-                u = _stresslet_block(tx, ty, tz, sr[0:1], sr[1:2], sr[2:3],
-                                     s9, a, exact_erfc=True)
-            return tuple(x + y for x, y in zip(acc, u))
+    def body(acc, args):
+        rw, sc = args
+        u = jax.vmap(block)(trg_r[rw], src_r[sc], src_f[sc])
+        return acc.at[rw].add(u), None
 
-        zero = jnp.zeros((C, 1), tr.dtype)
-        ux, uy, uz = jax.lax.fori_loop(0, P, body, (zero, zero, zero))
-        return jnp.concatenate([ux.T, uy.T, uz.T], axis=0)  # (3, C)
-
-    return jax.lax.map(one_cluster, (trg_r, nbr))
+    acc0 = jnp.zeros(trg_r.shape, trg_r.dtype)
+    acc, _ = jax.lax.scan(body, acc0,
+                          (rows_f.reshape(n_sub, sub),
+                           srcs_f.reshape(n_sub, sub)))
+    return acc[:-1]
 
 
 def near_apply_plan(plan: ClusterPlan, payload: jax.Array, a: float,
@@ -394,10 +439,10 @@ def near_apply_plan(plan: ClusterPlan, payload: jax.Array, a: float,
         with jax.enable_x64(False):
             u_cl = _near_clusters_pallas(
                 plan.src_r.astype(jnp.float32), src_f.astype(jnp.float32),
-                plan.trg_r.astype(jnp.float32), plan.nbr, kind, float(a),
-                interpret=interpret)
+                plan.trg_r.astype(jnp.float32), plan.rows, plan.srcs,
+                plan.first, kind, float(a), interpret=interpret)
         u_cl = u_cl.astype(payload.dtype)
     else:
         u_cl = _near_clusters_xla(plan.src_r, src_f, plan.trg_r,
-                                  plan.nbr, kind, float(a))
+                                  plan.rows, plan.srcs, kind, float(a))
     return unbin_targets(plan, u_cl)

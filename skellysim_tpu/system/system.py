@@ -62,12 +62,13 @@ def select_evaluators(pair_evaluator: str):
     return None, None
 
 
-def _pairlist_rowmax(pts: np.ndarray, lo, r_cut: float) -> int:
-    """Max candidate source clusters per target cluster of the cluster
-    pairlist (host replica of ewald_near_cluster.make_plan's bbox test),
-    used to size pair_cap from the initial geometry."""
+def _pairlist_total(pts: np.ndarray, lo, r_cut: float) -> int:
+    """Total candidate cluster pairs of the COO pairlist (host replica of
+    ewald_near_cluster.make_plan's bbox test, including the one synthetic
+    sentinel pair per target row), used to size pair_total from the
+    initial geometry."""
     Ccl = 128
-    ci = np.clip(((pts - np.asarray(lo)[None, :]) / r_cut).astype(np.int64),
+    ci = np.clip(((pts - np.asarray(lo)[None, :]) / (r_cut / 4.0)).astype(np.int64),
                  0, 1023)
 
     def spread(v):
@@ -89,7 +90,7 @@ def _pairlist_rowmax(pts: np.ndarray, lo, r_cut: float) -> int:
     gap = np.maximum(0.0, np.maximum(lo_b[None, :, :] - hi_b[:, None, :],
                                      lo_b[:, None, :] - hi_b[None, :, :]))
     cand = np.sum(gap * gap, axis=-1) <= r_cut * r_cut
-    return int(cand.sum(axis=1).max())
+    return int(cand.sum()) + n_cl
 
 
 class Params:
@@ -280,16 +281,16 @@ class System:
         st.cap = (_near_cap(np.concatenate(surf, axis=0), st)
                   if surf else stk.cap)
         stk.cap_t = st.cap_t = _near_cap(allp, stk)
-        # cluster-pairlist width: measure the candidate-pair row maximum of
-        # the initial geometry (conservatively src = trg = all points) and
-        # add 1.5× headroom — a mid-run regrow means a full recompile on a
+        # COO pairlist capacity: measure the candidate-pair total of the
+        # initial geometry (conservatively src = trg = all points) and add
+        # 1.5× headroom — a mid-run regrow means a full recompile on a
         # remote-compile backend, so size generously up front
-        rowmax = _pairlist_rowmax(allp, stk.lo, stk.r_cut)
-        stk.pair_cap = st.pair_cap = _round_up(1.5 * rowmax + 8, 8)
+        total = _pairlist_total(allp, stk.lo, stk.r_cut)
+        stk.pair_total = st.pair_total = _round_up(1.5 * total + 64, 4096)
         logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s "
-                    "slab_cap=%d near_caps=(%d,%d) pair_cap=%d",
+                    "slab_cap=%d near_caps=(%d,%d) pair_total=%d",
                     np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape,
-                    stk.slab_cap, stk.cap, st.cap, stk.pair_cap)
+                    stk.slab_cap, stk.cap, st.cap, stk.pair_total)
         if (self.dtype == jnp.float32 and self.params.gmres_tol < 1e-4):
             logger.warning(
                 "gmres_tol %.1e is below the f32 spectral-Ewald evaluator "
@@ -848,9 +849,9 @@ class System:
             ev.cap = 2 * ev.cap
             ev.cap_t = 2 * ev.cap_t
             ev.slab_cap = 2 * ev.slab_cap
-            ev.pair_cap = 2 * ev.pair_cap
-        logger.warning("ewald capacity overflow: regrown to pair_cap=%d "
-                       "slab=%d and recompiling", stk.pair_cap, stk.slab_cap)
+            ev.pair_total = 2 * ev.pair_total
+        logger.warning("ewald capacity overflow: regrown to pair_total=%d "
+                       "slab=%d and recompiling", stk.pair_total, stk.slab_cap)
         self._step_fn = self._build_step_fn()
         self._velocity_fn = self._build_velocity_fn()
 

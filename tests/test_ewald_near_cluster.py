@@ -18,12 +18,12 @@ from skellysim_tpu.kernels import ewald_near_cluster as enc
 RNG = np.random.default_rng(1229)
 
 
-def _setup(n_src=700, n_trg=500, a=0.22, span=2.0, pair_cap=64):
+def _setup(n_src=700, n_trg=500, a=0.22, span=2.0, pair_total=512):
     r_src = jnp.asarray(RNG.uniform(0, span, (n_src, 3)))
     r_trg = jnp.asarray(RNG.uniform(0, span, (n_trg, 3)))
     r_cut = 3.5 * a
     lo = jnp.asarray([-2 * r_cut] * 3)
-    plan = enc.make_plan(r_src, r_trg, lo, r_cut, pair_cap)
+    plan = enc.make_plan(r_src, r_trg, lo, r_cut, pair_total)
     return r_src, r_trg, lo, r_cut, plan, a
 
 
@@ -100,23 +100,23 @@ def test_pallas_matches_xla(kind, K):
     np.testing.assert_allclose(got, want, atol=3e-5 * scale)
 
 
-def test_pallas_chunked_targets():
-    """More target clusters than one pallas_call row-chunk: the lax.map
-    chunking path must agree with the oracle."""
+def test_pallas_chunked_pairs():
+    """A pair list spanning several SMEM chunks (rows straddling chunk
+    boundaries accumulate partial sums) must agree with the oracle."""
     import skellysim_tpu.kernels.ewald_near_cluster as mod
 
-    old = mod._ROWS_PER_CALL
-    mod._ROWS_PER_CALL = 2
+    old = mod._CHUNK
+    mod._CHUNK = 16
     try:
         r_src, r_trg, lo, r_cut, plan, a = _setup(n_src=900, n_trg=900)
-        assert plan.trg_r.shape[0] > 4
+        assert plan.rows.shape[0] > 2          # several chunks
         f = jnp.asarray(RNG.normal(size=(r_src.shape[0], 3)))
         want = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=False))
         got = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=True,
                                              interpret=True))
         np.testing.assert_allclose(got, want, atol=3e-5 * np.abs(want).max())
     finally:
-        mod._ROWS_PER_CALL = old
+        mod._CHUNK = old
 
 
 def test_overflow_is_counted_not_silent():
@@ -127,10 +127,10 @@ def test_overflow_is_counted_not_silent():
     # everything within r_cut of everything: candidate rows = all clusters
     pts = jnp.asarray(RNG.uniform(0.0, 0.5, (600, 3)))
     lo = jnp.asarray([-2 * r_cut] * 3)
-    plan1 = enc.make_plan(pts, pts, lo, r_cut, 1)
-    # 5 source clusters all candidates of every target cluster, cap 1
+    plan1 = enc.make_plan(pts, pts, lo, r_cut, 8)
+    # 5×5 all-pairs candidates + 5 sentinels = 30 pairs, capacity 8
     assert int(plan1.dropped) > 0
-    plan_ok = enc.make_plan(pts, pts, lo, r_cut, 8)
+    plan_ok = enc.make_plan(pts, pts, lo, r_cut, 64)
     assert int(plan_ok.dropped) == 0
     # the under-capacity plan also computes the WRONG answer — proving the
     # count is load-bearing

@@ -54,12 +54,12 @@ def test_ewald_overflow_triggers_regrow_not_silence():
     # sabotage: shrink capacities far below the real occupancy
     for ev in (stk, st):
         ev.slab_cap = 8
-        ev.pair_cap = 1
-    caps_before = (stk.pair_cap, stk.slab_cap)
+        ev.pair_total = 4
+    caps_before = (stk.pair_total, stk.slab_cap)
     s._step_fn = s._build_step_fn()
     r = s.step()
     assert bool(r[1])
-    assert (stk.pair_cap, stk.slab_cap) > caps_before
+    assert (stk.pair_total, stk.slab_cap) > caps_before
 
     s_direct = _build("direct")
     s_direct.step()
