@@ -251,5 +251,10 @@ def repin_fibers(fiber_blocks, states, max_sites: int):
         sidx = jnp.clip(blk.binding_site, 0, max_sites - 1)
         site_lab = sites_all[bidx, sidx]
         delta = jnp.where(attached[:, None], site_lab - blk.x[:, 0, :], 0.0)
-        out.append(blk.replace(x=blk.x + delta[:, None, :]))
+        # fold the rigid translation into the double-word position so
+        # emulated-precision runs don't re-round |x|-scale values each repin
+        from skellysim_tpu.utils import compensated as comp
+
+        xh, xl = comp.dd_add_f((blk.x, blk.x_lo), delta[:, None, :])
+        out.append(blk.replace(x=xh, x_lo=xl))
     return out

@@ -73,11 +73,45 @@ class FiberOperators:
 
 
 @struct.dataclass
+class FiberOperatorsLo:
+    """Double-word LOW parts of the derivative matrices, for the
+    emulated-precision residual (utils/compensated.py).
+
+    The finite-difference rows cancel ~(n/2)^k orders for smooth data, so
+    f32 rounding of the WEIGHTS — not just of the operand — is amplified by
+    the gross/net ratio. Splitting the f64 host matrices into f32 (hi, lo)
+    pairs and applying them with dd_matvec removes that error channel.
+    """
+
+    D1: jax.Array
+    D2: jax.Array
+    D3: jax.Array
+    D4: jax.Array
+
+    @staticmethod
+    def for_node_count(n: int, dtype=jnp.float32) -> "FiberOperatorsLo":
+        m = fiber_matrices(n)
+
+        def lo(a):
+            hi = np.asarray(a, np.dtype(dtype)).astype(np.float64)
+            return jnp.asarray(np.asarray(a, np.float64) - hi, dtype=dtype)
+
+        return FiberOperatorsLo(D1=lo(m.D1), D2=lo(m.D2), D3=lo(m.D3),
+                                D4=lo(m.D4))
+
+
+@struct.dataclass
 class FiberBlock:
     """A batch of B fibers sharing a node count n. All leaves are (B, ...)."""
 
     x: jax.Array                # (B, n, 3) node positions
+    x_lo: jax.Array             # (B, n, 3) double-word low part of x — zero
+                                # except in precision="emulated" runs, where
+                                # (x, x_lo) carries ~2× the mantissa so the
+                                # per-step increment (≈ dt·v ≪ |x|) survives
+                                # f32 storage (see utils/compensated.py)
     tension: jax.Array          # (B, n)
+    tension_lo: jax.Array       # (B, n) double-word low part of tension
     length: jax.Array           # (B,) target length
     length_prev: jax.Array      # (B,) last accepted length
     bending_rigidity: jax.Array  # (B,)
@@ -139,16 +173,31 @@ def make_fiber_block(
     minus_clamped=False,
     active=True,
     dtype=jnp.float64,
+    emulated=False,
 ) -> FiberBlock:
-    """Build a block from per-fiber data (scalars broadcast across the batch)."""
-    x = jnp.asarray(x, dtype=dtype)
+    """Build a block from per-fiber data (scalars broadcast across the batch).
+
+    ``emulated=True`` (with a working dtype narrower than the f64 input)
+    seeds the double-word low parts so the stored (hi, lo) pair carries the
+    input positions at full precision.
+    """
+    x64 = np.asarray(x, np.float64)
+    x = jnp.asarray(x64, dtype=dtype)
     if x.ndim == 2:
         x = x[None]
+        x64 = x64[None]
     B = x.shape[0]
+    if emulated and jnp.dtype(dtype).itemsize < 8:
+        x_lo = jnp.asarray(x64 - x64.astype(np.dtype(dtype)).astype(np.float64),
+                           dtype=dtype)
+    else:
+        x_lo = jnp.zeros_like(x)
     arr = lambda v, dt=dtype: jnp.broadcast_to(jnp.asarray(v, dtype=dt), (B,))
     return FiberBlock(
         x=x,
+        x_lo=x_lo,
         tension=jnp.zeros((B, x.shape[1]), dtype=dtype),
+        tension_lo=jnp.zeros((B, x.shape[1]), dtype=dtype),
         length=arr(lengths),
         length_prev=arr(lengths),
         bending_rigidity=arr(bending_rigidity),
@@ -490,15 +539,21 @@ def matvec(
     x_all: jax.Array,       # (B*4n,) fiber component of the solution vector
     v_fib: jax.Array,       # (B, n, 3) velocity at fiber nodes from all objects
     v_boundary: Optional[jax.Array] = None,  # (B, 7) body-link velocity terms
+    include_A: bool = True,
 ) -> jax.Array:
     """Fiber block-row of the global operator (fiber_finite_difference.cpp:276-312).
 
     y = A x − P [v; d/ds(xs·v)] + (end-tangency terms) + (body-link BC terms).
+
+    ``include_A=False`` returns only the velocity-coupling terms W(x) (the
+    emulated-precision path evaluates A·s_prev separately in factored
+    double-word arithmetic — ``residual_delta``).
     """
     B, n = block.n_fibers, block.n_nodes
     dtype = block.x.dtype
     xb = x_all.reshape(B, 4 * n)
-    Ax = jnp.einsum("brc,bc->br", cache.A, xb)
+    Ax = (jnp.einsum("brc,bc->br", cache.A, xb) if include_A
+          else jnp.zeros((B, 4 * n), dtype))
     v_fib = jnp.where(block.active[:, None, None], v_fib, 0.0)
 
     s = 2.0 / block.length_prev
@@ -568,6 +623,215 @@ def step(block: FiberBlock, solution: jax.Array) -> FiberBlock:
     x_new = jnp.where(act[:, None, None], x_new, block.x)
     t_new = jnp.where(act[:, None], sol[:, 3, :], block.tension)
     return block.replace(x=x_new, tension=t_new, length_prev=block.length)
+
+
+def pack_solution(block: FiberBlock) -> jax.Array:
+    """(B·4n,) solution-layout vector [x; y; z; T] of the stored state
+    (hi parts) — the warm-start / residual expansion point s_prev."""
+    return jnp.concatenate(
+        [block.x[:, :, 0], block.x[:, :, 1], block.x[:, :, 2], block.tension],
+        axis=1).reshape(-1)
+
+
+def step_delta(block: FiberBlock, delta: jax.Array) -> FiberBlock:
+    """Advance the double-word state by a solved increment δ = s_new − s_prev.
+
+    The emulated-precision counterpart of ``step``: positions and tension
+    are (hi, lo) pairs and the increment (≈ dt·v ≪ |x|) is folded in with
+    error-free two_sum chains, so per-step update rounding is ~2^-2p of |x|
+    instead of 2^-p (the error that dominated plain-f32 long runs).
+    """
+    from skellysim_tpu.utils import compensated as comp
+
+    B, n = block.n_fibers, block.n_nodes
+    sol = delta.reshape(B, 4, n)
+    dx = sol[:, :3, :].transpose(0, 2, 1)
+    xh, xl = comp.dd_add_f((block.x, block.x_lo), dx)
+    th, tl = comp.dd_add_f((block.tension, block.tension_lo), sol[:, 3, :])
+    act = block.active
+    m3 = act[:, None, None]
+    m2 = act[:, None]
+    return block.replace(
+        x=jnp.where(m3, xh, block.x), x_lo=jnp.where(m3, xl, block.x_lo),
+        tension=jnp.where(m2, th, block.tension),
+        tension_lo=jnp.where(m2, tl, block.tension_lo),
+        length_prev=block.length)
+
+
+def residual_delta(
+    block: FiberBlock,
+    ops: FiberOperators,
+    ops_lo: FiberOperatorsLo,
+    eta,
+    dt,
+    bc_minus, bc_plus,
+    flow: Optional[jax.Array] = None,
+    f_external: Optional[jax.Array] = None,
+    v_on_fiber: Optional[jax.Array] = None,
+    f_on_fiber: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(B, 4n) double-word-accurate residual  RHS_bc − A_bc · s_prev  of the
+    stored state, with the β/dt-scale terms cancelled SYMBOLICALLY.
+
+    This is the increment-form (iterative-refinement) solve that reaches the
+    reference's tight-tolerance regime (gmres_tol 1e-10,
+    src/core/params.cpp:14) on an f32-only chip: GMRES solves A·δ = r₀ for
+    the velocity-scale increment, and the attainable physics accuracy is set
+    by r₀'s precision, not by the f32 operator. Three error channels are
+    closed here:
+      * β/dt·x terms of A·s_prev vs the x/dt terms of the RHS
+        (fiber_finite_difference.cpp:198-274) cancel exactly in exact
+        arithmetic but at ~|x|/(dt·v) relative noise in f32 — they are
+        dropped from both sides analytically;
+      * high-order derivative applications D_k·x amplify rounding by the
+        FD gross/net ratio — applied as double-word matvecs of (hi, lo)
+        matrix and state pairs (exact to ~2^-2p);
+      * the tension equation's  −p(1 − |x_s|²)  penalty cancellation is
+        evaluated as a dd dot product.
+    All remaining combinations act on already-cancelled velocity-scale
+    values, where plain f32 is ~1e-7 relative.
+    """
+    from skellysim_tpu.utils import compensated as comp
+
+    B, n = block.n_fibers, block.n_nodes
+    dtype = block.x.dtype
+    E = block.bending_rigidity
+    beta = block.beta_tstep
+    p_pen = block.penalty_param
+    c0, c1 = sbt_constants(block, eta)
+    dt = jnp.asarray(dt, dtype)
+
+    # dd canonical derivative chains of the stored dd state
+    def ddDx(D, D_lo):
+        vh = jnp.moveaxis(block.x, 1, 2)      # (B, 3, n)
+        vl = jnp.moveaxis(block.x_lo, 1, 2)
+        h, l = comp.dd_matvec(D, vh, M_lo=D_lo, x_lo=vl)
+        return jnp.moveaxis(h, 2, 1), jnp.moveaxis(l, 2, 1)   # (B, n, 3) dd
+
+    def ddDT(D, D_lo):
+        return comp.dd_matvec(D, block.tension, M_lo=D_lo,
+                              x_lo=block.tension_lo)           # (B, n) dd
+
+    dx1 = ddDx(ops.D1, ops_lo.D1)
+    dx2 = ddDx(ops.D2, ops_lo.D2)
+    dx3 = ddDx(ops.D3, ops_lo.D3)
+    dx4 = ddDx(ops.D4, ops_lo.D4)
+    dT1 = ddDT(ops.D1, ops_lo.D1)
+    dT2 = ddDT(ops.D2, ops_lo.D2)
+
+    # physical scalings: cache derivatives (coefficients) use 2/length_prev,
+    # the operator's D_k use 2/length (mirroring derivatives() vs
+    # assemble_linear_operator/update_rhs)
+    sp = (2.0 / block.length_prev)[:, None, None]
+    sl = (2.0 / block.length)[:, None, None]
+    xs_dd = comp.dd_scale(dx1, sp)            # (B, n, 3) dd, cache scaling
+    xs = comp.dd_to(xs_dd)
+    xss = comp.dd_to(comp.dd_scale(dx2, sp ** 2))
+    xsss = comp.dd_to(comp.dd_scale(dx3, sp ** 3))
+    d2x = comp.dd_to(comp.dd_scale(dx2, sl ** 2))   # operator scaling
+    d3x = comp.dd_to(comp.dd_scale(dx3, sl ** 3))
+    d4x = comp.dd_to(comp.dd_scale(dx4, sl ** 4))
+    dT1_l = comp.dd_to(comp.dd_scale(dT1, sl[:, :, 0]))
+    dT2_l = comp.dd_to(comp.dd_scale(dT2, sl[:, :, 0] ** 2))
+    T = block.tension
+
+    c0b, c1b = c0[:, None, None], c1[:, None, None]
+    Eb = E[:, None, None]
+
+    # ---- interior xyz rows:  RHS_x − (A·s)_x  with β/dt·x dropped ----
+    one_m_beta = (1.0 - beta)
+    R_xyz = (one_m_beta / dt)[:, None, None] * block.x
+    s_dot = (1.0 + ops.alpha)[None, :] * (0.5 * block.v_growth)[:, None]
+    R_xyz = R_xyz + s_dot[:, :, None] * xs
+    if flow is not None:
+        R_xyz = R_xyz + flow
+    if f_external is not None:
+        xsf = jnp.sum(xs * f_external, axis=-1)
+        R_xyz = (R_xyz + c0b * (f_external + xsf[:, :, None] * xs)
+                 + c1b * (f_external - xsf[:, :, None] * xs))
+    # − E[(c0+c1)·d4x_i + (c0−c1)·xs_i·(xs·d4x)]
+    xs_d4x = jnp.sum(xs * d4x, axis=-1)
+    R_xyz = R_xyz - Eb * ((c0 + c1)[:, None, None] * d4x
+                          + (c0 - c1)[:, None, None] * xs_d4x[:, :, None] * xs)
+    # + 2c0·xs_i·(D1 T) + (c0+c1)·xss_i·T   (−A_xT·T)
+    R_xyz = R_xyz + 2.0 * c0b * xs * dT1_l[:, :, None]
+    R_xyz = R_xyz + (c0 + c1)[:, None, None] * xss * T[:, :, None]
+
+    # ---- interior tension row ----
+    # −p(1 − xs·xs_len) as a dd dot (the penalty cancellation)
+    xs_len_dd = comp.dd_scale(dx1, sl)
+    acc = None
+    for j in range(3):
+        prod = comp.dd_mul((xs_dd[0][:, :, j], xs_dd[1][:, :, j]),
+                           (xs_len_dd[0][:, :, j], xs_len_dd[1][:, :, j]))
+        acc = prod if acc is None else comp.dd_add(acc, prod)
+    R_T = p_pen[:, None] * comp.dd_to(comp.dd_add_f(acc, -1.0))
+    sD1 = sl * ops.D1                                  # (B, n, n), RHS scaling
+    if flow is not None:
+        du = jnp.einsum("bnm,bmc->bnc", sD1, flow)
+        R_T = R_T + jnp.sum(xs * du, axis=-1)
+    if f_external is not None:
+        df = jnp.einsum("bnm,bmc->bnc", sD1, f_external)
+        R_T = R_T + 2.0 * c0[:, None] * jnp.sum(xs * df, axis=-1)
+        R_T = R_T + (c0 - c1)[:, None] * jnp.sum(xss * f_external, axis=-1)
+    # −A_Tx·x (p-term already above) and −A_TT·T
+    R_T = R_T + (c1 + 7.0 * c0)[:, None] * E[:, None] * jnp.sum(xss * d4x, axis=-1)
+    R_T = R_T + 6.0 * c0[:, None] * E[:, None] * jnp.sum(xsss * d3x, axis=-1)
+    R_T = R_T + 2.0 * c0[:, None] * dT2_l
+    R_T = R_T - (c0 + c1)[:, None] * jnp.sum(xss * xss, axis=-1) * T
+
+    R_int = jnp.concatenate(
+        [R_xyz[:, :, 0], R_xyz[:, :, 1], R_xyz[:, :, 2], R_T], axis=1)
+    # compensated downsample: the interior rows can be large (rough tension
+    # ⇒ D2·T ~ 10²) and the plain f32 reduction's √(4n)·ε accumulation on
+    # them would re-pollute the carefully-cancelled residual
+    R_top = comp.dd_to(comp.dd_matvec(ops.P_downsample_bc, R_int))
+
+    # ---- the 14 BC rows (residuals of fiber_finite_difference.cpp:347-513) ----
+    v0 = v_on_fiber[:, 0, :] if v_on_fiber is not None else jnp.zeros((B, 3), dtype)
+    vend = v_on_fiber[:, -1, :] if v_on_fiber is not None else jnp.zeros((B, 3), dtype)
+    f0 = f_on_fiber[:, 0, :] if f_on_fiber is not None else jnp.zeros((B, 3), dtype)
+    fend = f_on_fiber[:, -1, :] if f_on_fiber is not None else jnp.zeros((B, 3), dtype)
+    xs0, xsend = xs[:, 0, :], xs[:, -1, :]
+    xss0, xssend = xss[:, 0, :], xss[:, -1, :]
+    T0, Tend = T[:, 0], T[:, -1]
+
+    Rbc = jnp.zeros((B, 14), dtype)
+    is_cl = (bc_minus == BC_MINUS_CLAMPED)
+    is_hg = (bc_plus == BC_PLUS_HINGED)
+
+    # minus rows 0-2: clamped (1−β)x₀/dt  vs  free f₀ − E·x'''₀ + xs₀·T₀
+    r_cl = (one_m_beta / dt)[:, None] * block.x[:, 0, :]
+    r_fr = f0 - E[:, None] * d3x[:, 0, :] + xs0 * T0[:, None]
+    Rbc = Rbc.at[:, 0:3].set(jnp.where(is_cl[:, None], r_cl, r_fr))
+    # minus row 3 (tension condition)
+    r_cl3 = (-jnp.sum(xs0 * v0, -1) - 2.0 * c0 * jnp.sum(xs0 * f0, -1)
+             - 6.0 * E * c0 * jnp.sum(xss0 * d3x[:, 0, :], -1)
+             - 2.0 * c0 * dT1_l[:, 0])
+    r_fr3 = (jnp.sum(f0 * xs0, -1)
+             + E * jnp.sum(xss0 * d2x[:, 0, :], -1) + T0)
+    Rbc = Rbc.at[:, 3].set(jnp.where(is_cl, r_cl3, r_fr3))
+    # minus rows 4-6: AngularVelocity (s_prev − β·s_len)·x'₀/dt  vs Torque −x''₀
+    fac = ((sp - beta[:, None, None] * sl) / dt)[:, 0, 0]
+    r_av = fac[:, None] * dx1[0][:, 0, :]
+    r_tq = -d2x[:, 0, :]
+    Rbc = Rbc.at[:, 4:7].set(jnp.where(is_cl[:, None], r_av, r_tq))
+    # plus rows 7-9: hinged (1−β)x_end/dt  vs  free f_end + E·x'''_end − xs_end·T_end
+    r_hg = (one_m_beta / dt)[:, None] * block.x[:, -1, :]
+    r_pf = fend + E[:, None] * d3x[:, -1, :] - xsend * Tend[:, None]
+    Rbc = Rbc.at[:, 7:10].set(jnp.where(is_hg[:, None], r_hg, r_pf))
+    # plus row 10
+    r_hg10 = (-jnp.sum(xsend * vend, -1) - 2.0 * c0 * jnp.sum(xsend * fend, -1)
+              - 6.0 * E * c0 * jnp.sum(xssend * d3x[:, -1, :], -1)
+              - 2.0 * c0 * dT1_l[:, -1])
+    r_pf10 = (jnp.sum(fend * xsend, -1)
+              - E * jnp.sum(xssend * d2x[:, -1, :], -1) - Tend)
+    Rbc = Rbc.at[:, 10].set(jnp.where(is_hg, r_hg10, r_pf10))
+    # plus rows 11-13: torque −x''_end
+    Rbc = Rbc.at[:, 11:14].set(-d2x[:, -1, :])
+
+    R = jnp.concatenate([R_top, Rbc], axis=1)
+    return jnp.where(block.active[:, None], R, 0.0)
 
 
 def update_cache(

@@ -399,14 +399,24 @@ def _spread_scatter(points, values, lo, h, sigma, grid_shape, support):
     return jnp.stack(grids)
 
 
-def _slab_bins(points, h, lo, Gx, cap, support, dtype):
-    """Scatter-free x-slab binning shared by slab spread/interp.
+def _slab_bins(points, h, lo, Gx, cap, CP, n_entries, dtype, support):
+    """Scatter-free RAGGED x-slab binning shared by slab spread/interp.
 
-    Returns per-slab (Gx, cap) stores of rel_y, rel_z, fx (x-fraction from
-    the nearest node), the 1/Z window normalizer, plus the (order, starts,
-    key) triple for the gather-only inverse map. Empty slots carry rel=1e12,
-    which puts them outside every window's support: their φ values vanish
-    identically, so no masking is needed downstream."""
+    Points sort by their nearest x-plane; each slab's sorted run splits
+    into chunks of CP slots, and the non-empty (slab, chunk) pairs compact
+    into a flat entry list of static length ``n_entries`` — compute then
+    scales with the number of occupied chunks, not with Gx × max-occupancy
+    (occupancy skew made the rectangular layout multiply ~6× padding at
+    oocyte scale). n_entries = ⌈N/CP⌉ + Gx is a TIGHT static bound (each
+    slab wastes at most one partial chunk), so entry overflow cannot
+    happen; only the per-slab ``cap`` can drop points (counted by
+    slab_dropped, regrown by the System).
+
+    Returns (E, CP) stores of rel_y, rel_z, fx plus the entry slab ids and
+    the pieces of the gather-only inverse map. Empty slots carry rel=1e12,
+    outside every window's support, so their φ values vanish identically.
+    """
+    n = points.shape[0]
     rel = (points - lo[None, :]) / h
     base_x = jnp.floor(rel[:, 0] + 0.5).astype(jnp.int32)
     fx = (rel[:, 0] - base_x.astype(dtype)).astype(dtype)
@@ -419,15 +429,34 @@ def _slab_bins(points, h, lo, Gx, cap, support, dtype):
     key_s = key[order]
     bounds = jnp.searchsorted(key_s, jnp.arange(Gx + 1, dtype=key.dtype))
     starts, ends = bounds[:-1], bounds[1:]
-    slot = jnp.arange(cap, dtype=starts.dtype)
-    idx = starts[:, None] + slot[None, :]
-    valid = idx < ends[:, None]
-    idx_c = jnp.clip(idx, 0, points.shape[0] - 1)
+    occ = jnp.minimum(ends - starts, cap)
+    nchunk = -(-occ // CP)                              # (Gx,), ≤ ⌈cap/CP⌉
+    # prefix sums via a triangular matmul: cumsum/nonzero lower to
+    # reduce-window prefix scans whose scoped-vmem stack overflows the TPU
+    # compiler inside large fused programs; counts ≪ 2^24 are f32-exact
+    tri = jnp.tril(jnp.ones((Gx, Gx), jnp.float32))
+    cum_incl = (tri @ nchunk.astype(jnp.float32)).astype(jnp.int32)  # (Gx,)
+    cum_chunks = cum_incl - nchunk                       # exclusive
+    # entry e lives in the slab whose inclusive prefix first exceeds e
+    e_idx = jnp.arange(n_entries, dtype=jnp.int32)
+    ent_slab = jnp.searchsorted(cum_incl, e_idx, side="right").astype(
+        jnp.int32)                                       # Gx ⇒ dummy entry
+    slab_c = jnp.clip(ent_slab, 0, Gx - 1)
+    ent_chunk = e_idx - cum_chunks[slab_c]
+    idx = (starts[slab_c][:, None] + ent_chunk[:, None] * CP
+           + jnp.arange(CP)[None, :])                   # (E, CP)
+    slot_in = ent_chunk[:, None] * CP + jnp.arange(CP)[None, :]
+    valid = ((ent_slab < Gx)[:, None] & (idx < ends[slab_c][:, None])
+             & (slot_in < cap))
+    idx_c = jnp.clip(idx, 0, n - 1)
     far = jnp.asarray(1e12, dtype)
     rel_y = jnp.where(valid, rel[:, 1].astype(dtype)[order][idx_c], far)
     rel_z = jnp.where(valid, rel[:, 2].astype(dtype)[order][idx_c], far)
     fx_b = jnp.where(valid, fx[order][idx_c], far)
-    return rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c
+    # inverse map: point p (rank q in slab key[p]) lives at entry
+    # cum_chunks[key] + q//CP, slot q%CP
+    return (rel_y, rel_z, fx_b, ent_slab, Z, valid, order, starts, key,
+            idx_c, cum_chunks)
 
 
 @partial(jax.jit, static_argnames=("Gx", "cap"))
@@ -452,38 +481,34 @@ def _slab_cap(n_points: int, Gx: int) -> int:
     return max(128, -(-8 * n_points // max(Gx, 1) // 128) * 128)
 
 
-def _cap_chunks(cap: int, target: int = 512):
-    """Split the slab capacity into scan chunks of ≤ ``target``."""
-    CP = min(cap, target)
-    chunks = -(-cap // CP)
-    return CP, chunks
+def _slab_CP(cap: int, target: int = 512):
+    """Entry slot width: ≤ ``target``, snug for sparse sources."""
+    return min(cap, target)
 
 
-def _chunk_cap(arr, chunks: int, CP: int):
-    """(Gx, cap, …) → (chunks, Gx, CP, …) with zero tail padding."""
-    Gx, cap = arr.shape[0], arr.shape[1]
-    pad = [(0, 0)] * arr.ndim
-    pad[1] = (0, chunks * CP - cap)
-    a = jnp.pad(arr, pad)
-    a = a.reshape((Gx, chunks, CP) + arr.shape[2:])
-    return jnp.moveaxis(a, 1, 0)
+def _slab_entry_bound(N: int, Gx: int, CP: int) -> int:
+    """Static entry-list length: ⌈N/CP⌉ + Gx covers any occupancy pattern
+    (each slab wastes at most one partial chunk)."""
+    return -(-N // CP) + Gx
 
 
 @partial(jax.jit, static_argnames=("logical", "support", "cap"))
 def _spread_slab(points, values, lo, h, logical, support, cap=None):
     """Slab-matmul spreading — the MXU formulation of NUFFT type-1.
 
-    Points bin by their nearest x-plane ("slab"). The y/z windows are
-    evaluated DENSELY over the occupied grid extent: φ vanishes outside its
-    support, so the dense (cap, G) window matrix is automatically banded and
-    needs no index arithmetic. The whole spread then factors into, per
-    x-window offset d (W of them), one batched matmul over slabs:
+    Points bin by their nearest x-plane ("slab"); the non-empty CP-wide
+    slab chunks compact into a ragged entry list (_slab_bins). The y/z
+    windows are evaluated DENSELY over the occupied grid extent: φ vanishes
+    outside its support, so the dense (CP, G) window matrix is
+    automatically banded and needs no index arithmetic. The whole spread
+    then factors into, per entry and per x-window offset d (W of them),
+    one matmul
 
-        plane[s] = (Wy ⊙ φx_d·v)ᵀ · Wz        ((C·Gy × cap) @ (cap × Gz))
+        plane = (Wy ⊙ φx_d·v)ᵀ · Wz           ((C·Gy × CP) @ (CP × Gz))
 
-    accumulated into grid rows s+d — a STATIC slice shift-add, no scatter.
-    Total cost W·Gx·cap·(C·Gy)·Gz MACs in MXU-native shapes, ~100× less
-    work than a 27-neighbor tile gather at the same accuracy.
+    accumulated into grid rows slab+d via one dynamic-slice add per entry —
+    no scatter. Total cost ≈ W·(N + Gx·CP/2)·(C·Gy)·Gz/CP MACs in
+    MXU-native shapes, independent of slab-occupancy skew.
     """
     dtype = values.dtype
     N, C = values.shape
@@ -491,85 +516,92 @@ def _spread_slab(points, values, lo, h, logical, support, cap=None):
     beta = _es_beta(support)
     half = support / 2.0
     W2 = support // 2
+    Wn = 2 * W2 + 1
     cap = cap or _slab_cap(N, Gx)
-    rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c = _slab_bins(
-        points, h, lo, Gx, cap, support, dtype)
+    CP = _slab_CP(cap)
+    E = _slab_entry_bound(N, Gx, CP)
+    (rel_y, rel_z, fx_b, ent_slab, Z, valid, order, starts, key, idx_c,
+     _cum) = _slab_bins(points, h, lo, Gx, cap, CP, E, dtype, support)
     val_b = jnp.where(valid[..., None],
-                      (values / Z[:, None])[order][idx_c], 0.0)  # (Gx,cap,C)
+                      (values / Z[:, None])[order][idx_c], 0.0)  # (E,CP,C)
 
     gy = jnp.arange(Gy, dtype=dtype)
     gz = jnp.arange(Gz, dtype=dtype)
 
-    # dense systems make cap large; scanning cap-chunks bounds the live
-    # (Gx, CP, C, Gy) intermediate to one chunk (the unrolled-d variant OOMs
-    # at oocyte scale: 9 live 1.6 GB temps)
-    CP, chunks = _cap_chunks(cap)
-    xs = (_chunk_cap(rel_y, chunks, CP), _chunk_cap(rel_z, chunks, CP),
-          _chunk_cap(fx_b, chunks, CP), _chunk_cap(val_b, chunks, CP))
-
-    def chunk_body(gridp, chunk):
-        ry, rz, fx, vb = chunk
-        Wy = _es_phi((gy[None, None, :] - ry[:, :, None]) / half, beta)
-        Wz = _es_phi((gz[None, None, :] - rz[:, :, None]) / half, beta)
+    def entry_body(gridp, ent):
+        ry, rz, fx, vb, slab = ent
+        Wy = _es_phi((gy[None, :] - ry[:, None]) / half, beta)   # (CP, Gy)
+        Wz = _es_phi((gz[None, :] - rz[:, None]) / half, beta)   # (CP, Gz)
+        planes = []
         for d in range(-W2, W2 + 1):
-            cx = _es_phi((d - fx) / half, beta)                # (Gx, CP)
-            lhs = (Wy[:, :, None, :]
-                   * (cx[:, :, None] * vb)[:, :, :, None])     # (Gx,CP,C,Gy)
-            plane = jnp.einsum("spm,spk->smk",
-                               lhs.reshape(Gx, CP, C * Gy), Wz)
-            plane = jnp.moveaxis(plane.reshape(Gx, C, Gy, Gz), 1, 0)
-            gridp = gridp.at[:, W2 + d: W2 + d + Gx].add(plane)
+            cx = _es_phi((d - fx) / half, beta)                  # (CP,)
+            lhs = Wy[:, None, :] * (cx[:, None] * vb)[:, :, None]
+            plane = jnp.einsum("pm,pk->mk", lhs.reshape(CP, C * Gy), Wz)
+            planes.append(plane.reshape(C, Gy, Gz))
+        block = jnp.stack(planes, axis=1)                 # (C, Wn, Gy, Gz)
+        z = jnp.zeros((), slab.dtype)
+        cur = jax.lax.dynamic_slice(gridp, (z, slab, z, z),
+                                    (C, Wn, Gy, Gz))
+        gridp = jax.lax.dynamic_update_slice(gridp, cur + block,
+                                             (z, slab, z, z))
         return gridp, None
 
-    gridp = jnp.zeros((C, Gx + 2 * W2, Gy, Gz), dtype)
-    gridp, _ = jax.lax.scan(chunk_body, gridp, xs)
+    # row s of the logical grid receives window rows [s, s+Wn) of the
+    # padded buffer; the +1 tail row absorbs the all-zero dummy entries
+    gridp = jnp.zeros((C, Gx + 2 * W2 + 1, Gy, Gz), dtype)
+    gridp, _ = jax.lax.scan(entry_body, gridp,
+                            (rel_y, rel_z, fx_b, val_b, ent_slab))
     return gridp[:, W2: W2 + Gx]
 
 
 @partial(jax.jit, static_argnames=("support", "cap"))
 def _interp_slab(grids, points, lo, h, support, cap=None):
     """Slab-matmul interpolation (NUFFT type-2) — transpose of
-    ``_spread_slab``: per x-offset d, slabs read grid rows s+d (static
-    slice) and contract against the dense y/z windows as batched matmuls;
-    points recover their values through a gather-only inverse map."""
+    ``_spread_slab``: per ragged entry, read grid rows [slab, slab+Wn)
+    (one dynamic slice) and contract against the dense y/z windows as
+    matmuls; points recover their values through a gather-only inverse
+    map."""
     dtype = grids.dtype
     C, Gx, Gy, Gz = grids.shape
     N = points.shape[0]
     beta = _es_beta(support)
     half = support / 2.0
     W2 = support // 2
+    Wn = 2 * W2 + 1
     cap = cap or _slab_cap(N, Gx)
-    rel_y, rel_z, fx_b, Z, valid, order, starts, key, idx_c = _slab_bins(
-        points, h, lo, Gx, cap, support, dtype)
+    CP = _slab_CP(cap)
+    E = _slab_entry_bound(N, Gx, CP)
+    (rel_y, rel_z, fx_b, ent_slab, Z, valid, order, starts, key, idx_c,
+     cum_chunks) = _slab_bins(points, h, lo, Gx, cap, CP, E, dtype, support)
 
     gy = jnp.arange(Gy, dtype=dtype)
     gz = jnp.arange(Gz, dtype=dtype)
-    gpad = jnp.pad(grids, ((0, 0), (W2, W2), (0, 0), (0, 0)))
+    gpad = jnp.pad(grids, ((0, 0), (W2, W2 + 1), (0, 0), (0, 0)))
 
-    CP, chunks = _cap_chunks(cap)
-    xs = (_chunk_cap(rel_y, chunks, CP), _chunk_cap(rel_z, chunks, CP),
-          _chunk_cap(fx_b, chunks, CP))
-
-    def chunk_body(_, chunk):
-        ry, rz, fx = chunk
-        Wy = _es_phi((gy[None, None, :] - ry[:, :, None]) / half, beta)
-        Wz = _es_phi((gz[None, None, :] - rz[:, :, None]) / half, beta)
-        acc = jnp.zeros((Gx, CP, C), dtype)
-        for d in range(-W2, W2 + 1):
-            rows = gpad[:, W2 + d: W2 + d + Gx]                # (C,Gx,Gy,Gz)
-            A = jnp.einsum("spj,csjk->spck", Wy, rows)
-            t = jnp.einsum("spck,spk->spc", A, Wz)
-            cx = _es_phi((d - fx) / half, beta)
-            acc = acc + cx[:, :, None] * t
+    def entry_body(_, ent):
+        ry, rz, fx, slab = ent
+        Wy = _es_phi((gy[None, :] - ry[:, None]) / half, beta)   # (CP, Gy)
+        Wz = _es_phi((gz[None, :] - rz[:, None]) / half, beta)   # (CP, Gz)
+        z = jnp.zeros((), slab.dtype)
+        rows = jax.lax.dynamic_slice(gpad, (z, slab, z, z),
+                                     (C, Wn, Gy, Gz))
+        acc = jnp.zeros((CP, C), dtype)
+        for d in range(Wn):
+            A = jnp.einsum("pj,cjk->pck", Wy, rows[:, d])
+            t = jnp.einsum("pck,pk->pc", A, Wz)
+            cx = _es_phi((d - W2 - fx) / half, beta)
+            acc = acc + cx[:, None] * t
         return _, acc
 
-    _, out = jax.lax.scan(chunk_body, None, xs)   # (chunks, Gx, CP, C)
-    out = jnp.moveaxis(out, 0, 1).reshape(Gx, chunks * CP, C)[:, :cap]
-    # inverse map: point p sits at sorted rank s → slot s − starts[key[p]]
+    _, out = jax.lax.scan(entry_body, None,
+                          (rel_y, rel_z, fx_b, ent_slab))   # (E, CP, C)
+    # inverse map: point p (sorted rank q in slab key[p]) lives at entry
+    # cum_chunks[key]+q//CP, slot q%CP
     ranks = jnp.argsort(order)
-    slot = ranks - starts[key]
-    u = out[key, jnp.clip(slot, 0, cap - 1)]
-    u = jnp.where((slot < cap)[:, None], u, 0.0)
+    q = ranks - starts[key]
+    ent = cum_chunks[key] + q // CP
+    u = out[jnp.clip(ent, 0, out.shape[0] - 1), q % CP]
+    u = jnp.where((q < cap)[:, None], u, 0.0)
     return u / Z[:, None]
 
 

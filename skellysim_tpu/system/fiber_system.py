@@ -31,13 +31,18 @@ class FiberEnsemble:
     """Host-side wrapper: static structure (ops, permutation) + block pytrees."""
 
     def __init__(self, blocks: List[FiberBlock], ops: List[FiberOperators],
-                 perm: List[Tuple[int, int]]):
+                 perm: List[Tuple[int, int]], emulated: bool = False):
         self.blocks = blocks
         self.ops = ops
         self.perm = perm  # config order -> (block index, row index)
+        self.emulated = emulated
+        self.ops_lo = ([ff.FiberOperatorsLo.for_node_count(b.n_nodes,
+                                                           b.x.dtype)
+                        for b in blocks] if emulated else None)
 
     @staticmethod
-    def from_tables(fiber_tables: Sequence[dict], dtype=jnp.float64) -> "FiberEnsemble":
+    def from_tables(fiber_tables: Sequence[dict], dtype=jnp.float64,
+                    emulated: bool = False) -> "FiberEnsemble":
         """Group config fibers by node count into batched blocks."""
         by_n: dict = {}
         for i, t in enumerate(fiber_tables):
@@ -58,12 +63,13 @@ class FiberEnsemble:
                 binding_site=jnp.asarray(get("parent_site", -1), jnp.int32),
                 minus_clamped=jnp.asarray(get("minus_clamped", False), bool),
                 dtype=dtype,
+                emulated=emulated,
             )
             blocks.append(block)
             ops.append(FiberOperators.for_node_count(n, dtype))
             for row, (i, _, _) in enumerate(entries):
                 perm[i] = (bi, row)
-        return FiberEnsemble(blocks, ops, perm)
+        return FiberEnsemble(blocks, ops, perm, emulated=emulated)
 
     @property
     def n_fibers(self) -> int:
@@ -237,12 +243,14 @@ def flow(blocks, ops, r_trg: jax.Array, forces: jax.Array, eta,
 
 
 def matvec(blocks, ops, caches, x_fib: jax.Array, v_fib: jax.Array,
-           v_boundary: Optional[List[jax.Array]] = None) -> jax.Array:
+           v_boundary: Optional[List[jax.Array]] = None,
+           include_A: bool = True) -> jax.Array:
     parts = []
     v_split = split_nodes(blocks, v_fib)
     for i, (b, op, c, xb) in enumerate(zip(blocks, ops, caches, split_solution(blocks, x_fib))):
         vb = None if v_boundary is None else v_boundary[i]
-        parts.append(ff.matvec(b, op, c, xb, v_split[i], vb))
+        parts.append(ff.matvec(b, op, c, xb, v_split[i], vb,
+                               include_A=include_A))
     return jnp.concatenate(parts) if parts else jnp.zeros(0)
 
 
@@ -260,6 +268,36 @@ def rhs(caches) -> jax.Array:
 
 def step(blocks, x_fib: jax.Array) -> List[FiberBlock]:
     return [ff.step(b, xb) for b, xb in zip(blocks, split_solution(blocks, x_fib))]
+
+
+def pack_solution(blocks) -> jax.Array:
+    """Solution-layout vector of the stored state — the emulated-precision
+    residual expansion point (and GMRES warm-start origin)."""
+    parts = [ff.pack_solution(b) for b in blocks]
+    return jnp.concatenate(parts) if parts else jnp.zeros(0)
+
+
+def step_delta(blocks, delta_fib: jax.Array) -> List[FiberBlock]:
+    """Double-word state advance from solved increments (see ff.step_delta)."""
+    return [ff.step_delta(b, d)
+            for b, d in zip(blocks, split_solution(blocks, delta_fib))]
+
+
+def residual_delta(blocks, ops, ops_lo, eta, dt, bc_minus, bc_plus,
+                   flows=None, f_externals=None, v_on_fibers=None,
+                   f_on_fibers=None) -> jax.Array:
+    """Concatenated accurate fiber residual RHS − A·s_prev (see
+    ff.residual_delta)."""
+    parts = []
+    for i, (b, op, ol) in enumerate(zip(blocks, ops, ops_lo)):
+        parts.append(ff.residual_delta(
+            b, op, ol, eta, dt, bc_minus[i], bc_plus[i],
+            flow=None if flows is None else flows[i],
+            f_external=None if f_externals is None else f_externals[i],
+            v_on_fiber=None if v_on_fibers is None else v_on_fibers[i],
+            f_on_fiber=None if f_on_fibers is None else f_on_fibers[i],
+        ).reshape(-1))
+    return jnp.concatenate(parts) if parts else jnp.zeros(0)
 
 
 def fiber_error(blocks, ops) -> jax.Array:

@@ -146,12 +146,18 @@ class System:
         self.time = 0.0
         self.dt = self.params.dt_initial
         # "single" runs the whole solve in f32 — the TPU production mode
-        # (no f64 vector hardware); "double" is the tight-tolerance default.
+        # (no f64 vector hardware); "double" is the tight-tolerance default;
+        # "emulated" is f32 storage/compute with the increment-form solve
+        # and double-word state (utils/compensated.py) — the on-chip route
+        # to the reference's gmres_tol 1e-10 regime (params.cpp:14).
         self.dtype = (jnp.float32 if self.params.precision in
-                      ("single", "float32", "f32") else jnp.float64)
+                      ("single", "float32", "f32", "emulated")
+                      else jnp.float64)
+        self.emulated = self.params.precision == "emulated"
 
         self.fibers = fs.FiberEnsemble.from_tables(config.get("fibers", []),
-                                                   dtype=self.dtype)
+                                                   dtype=self.dtype,
+                                                   emulated=self.emulated)
         self.point_sources = PointSources.from_tables(
             config.get("point_sources", []), dtype=self.dtype)
         self.background = BackgroundFlow.from_table(
@@ -331,6 +337,8 @@ class System:
         pb_active = bool(pb["active"]) and has_shell
         fp_f0, fp_l0 = p.fp_f0, p.fp_l0
         ops = self.fibers.ops
+        emulated = self.emulated
+        ops_lo = self.fibers.ops_lo
         F = self.fiber_solution_size()
         Nf = self.fibers.node_count
 
@@ -484,7 +492,7 @@ class System:
             b_vec = jnp.concatenate(rhs_parts)
 
             # --- matrix-free operator (System::apply_matvec, system.cpp:269-324) ---
-            def matvec_fn(x):
+            def matvec_impl(x, include_A=True):
                 x_f = x[:F]
                 fw = fs.apply_fiber_force(blocks, caches, x_f)
                 v = fs.flow(blocks, ops, r_all, fw, eta, subtract_self=True,
@@ -513,7 +521,7 @@ class System:
                 else:
                     v_on_fib = None
                 res = [fs.matvec(blocks, ops, caches, x_f, v[:Nf],
-                                 v_boundary=v_on_fib)]
+                                 v_boundary=v_on_fib, include_A=include_A)]
                 if has_shell:
                     res.append(shell_ops.matvec(shell_state, x[F:FS],
                                                 v[Nf:Nf + shell_state.n_nodes]))
@@ -521,6 +529,9 @@ class System:
                     res.append(bcont.matvec(body_states, body_caches,
                                             v[r_all.shape[0] - Nb:], x[FS:]))
                 return jnp.concatenate(res)
+
+            def matvec_fn(x):
+                return matvec_impl(x)
 
             def precond_fn(x):
                 res = [fs.precondition(blocks, caches, x[:F])]
@@ -530,19 +541,46 @@ class System:
                     res.append(bcont.precondition(body_states, body_caches, x[FS:]))
                 return jnp.concatenate(res)
 
-            res = gmres(matvec_fn, b_vec, tol=gmres_tol, restart=restart,
-                        precond=precond_fn)
+            if emulated:
+                # Increment-form (iterative-refinement) solve: GMRES finds
+                # δ = s_new − s_prev from the double-word-accurate residual
+                # r₀ = b − M(s_prev); the f32 operator only shapes
+                # convergence, r₀'s precision sets the attainable physics
+                # accuracy (see ff.residual_delta). The fiber part of
+                # M(s_prev) is evaluated in factored dd arithmetic; the
+                # shell/body rows (no 1/dt-scale cancellation) come from one
+                # plain f32 coupling evaluation (matvec_impl include_A=False
+                # skips only the fiber dense-A application).
+                s_prev = jnp.concatenate(
+                    [fs.pack_solution(blocks)]
+                    + ([shell_state.solution] if has_shell else [])
+                    + ([jnp.zeros(b_vec.shape[0] - FS, b_vec.dtype)]
+                       if has_bodies else []))
+                mW = matvec_impl(s_prev, include_A=False)
+                R_fib = fs.residual_delta(
+                    blocks, ops, ops_lo, eta, dt, bc_minus, bc_plus,
+                    flows=v_split, f_externals=total_f,
+                    v_on_fibers=v_split, f_on_fibers=f_ext)
+                r0 = jnp.concatenate([R_fib - mW[:F], b_vec[F:] - mW[F:]])
+                res = gmres(matvec_fn, r0, tol=gmres_tol, restart=restart,
+                            precond=precond_fn)
+                x_total = s_prev + res.x
+                new_blocks = fs.step_delta(blocks, res.x[:F])
+            else:
+                res = gmres(matvec_fn, b_vec, tol=gmres_tol, restart=restart,
+                            precond=precond_fn)
+                x_total = res.x
+                new_blocks = fs.step(blocks, res.x[:F])
 
-            new_blocks = fs.step(blocks, res.x[:F])
-            new_shell = (shell_state.replace(solution=res.x[F:FS])
+            new_shell = (shell_state.replace(solution=x_total[F:FS])
                          if has_shell else shell_state)
             if has_bodies:
-                new_bodies = bcont.step(body_states, res.x[FS:], dt)
+                new_bodies = bcont.step(body_states, x_total[FS:], dt)
                 new_blocks = bcont.repin_fibers(new_blocks, new_bodies, max_sites)
             else:
                 new_bodies = body_states
             err = fs.fiber_error(new_blocks, ops)
-            return (new_blocks, new_shell, new_bodies, res.x, err, res.residual,
+            return (new_blocks, new_shell, new_bodies, x_total, err, res.residual,
                     res.iterations, res.converged, ewald_dropped)
 
         return step_fn
@@ -829,7 +867,8 @@ class System:
                 grew = grew or g
                 self.fibers.set_row(
                     bi, row,
-                    x=jnp.asarray(x), tension=jnp.zeros(n),
+                    x=jnp.asarray(x), x_lo=jnp.zeros_like(jnp.asarray(x)),
+                    tension=jnp.zeros(n), tension_lo=jnp.zeros(n),
                     length=L0, length_prev=L0,
                     bending_rigidity=di["bending_rigidity"],
                     radius=di["radius"], force_scale=0.0, v_growth=0.0,
@@ -1055,8 +1094,12 @@ class System:
                 force_scale=float(b.force_scale[row]),
                 beta_tstep=float(b.beta_tstep[row]),
                 binding_site=(int(b.binding_body[row]), int(b.binding_site[row])),
-                tension=np.asarray(b.tension[row]),
-                x=np.asarray(b.x[row]),
+                # hi+lo in f64: emulated runs carry sub-f32 position/tension
+                # bits the trajectory must not round away (lo ≡ 0 otherwise)
+                tension=(np.asarray(b.tension[row], np.float64)
+                         + np.asarray(b.tension_lo[row], np.float64)),
+                x=(np.asarray(b.x[row], np.float64)
+                   + np.asarray(b.x_lo[row], np.float64)),
                 minus_clamped=bool(b.minus_clamped[row]),
             ))
         shell_solution = (np.asarray(self.shell.state.solution)
@@ -1115,9 +1158,18 @@ class System:
         for i, fib in enumerate(fibers):
             bi, row = self.fibers.perm[i]
             b = self.fibers.blocks[bi]
+            x64 = np.asarray(fib["x_"], np.float64)
+            t64 = np.asarray(fib["tension_"], np.float64)
+            np_dt = np.dtype(jnp.dtype(b.x.dtype).name)
+            x_lo = (x64 - x64.astype(np_dt).astype(np.float64)
+                    if self.emulated else np.zeros_like(x64))
+            t_lo = (t64 - t64.astype(np_dt).astype(np.float64)
+                    if self.emulated else np.zeros_like(t64))
             self.fibers.blocks[bi] = b.replace(
-                x=b.x.at[row].set(jnp.asarray(fib["x_"])),
-                tension=b.tension.at[row].set(jnp.asarray(fib["tension_"])),
+                x=b.x.at[row].set(jnp.asarray(x64, b.x.dtype)),
+                x_lo=b.x_lo.at[row].set(jnp.asarray(x_lo, b.x.dtype)),
+                tension=b.tension.at[row].set(jnp.asarray(t64, b.x.dtype)),
+                tension_lo=b.tension_lo.at[row].set(jnp.asarray(t_lo, b.x.dtype)),
                 length=b.length.at[row].set(fib["length_"]),
                 length_prev=b.length_prev.at[row].set(fib["length_prev_"]),
             )

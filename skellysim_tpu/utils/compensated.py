@@ -143,6 +143,33 @@ def dd_matvec_f32exact(M, x, x_lo=None):
     return dd_sum((p, e), axis=-1)
 
 
+def dd_matvec(M, x, M_lo=None, x_lo=None):
+    """dd product M @ x where BOTH operands may carry low parts:
+    (..., m, n) @ (..., n) → dd (..., m).
+
+    The hi×hi products are error-free (two_prod); the hi×lo cross terms are
+    accumulated in plain precision (they are already ~2^-p small); lo×lo is
+    dropped (~2^-2p). With ``M_lo`` from a f64 host matrix split into f32
+    (hi, lo), the result is the f64-accurate matvec — this is what lets the
+    emulated-precision fiber residual apply the high-order finite-difference
+    operators (whose row sums cancel ~4 orders for smooth data) without the
+    cancellation amplifying f32 entry rounding.
+    """
+    p, e = two_prod(M, x[..., None, :])
+    if x_lo is not None:
+        e = e + M * x_lo[..., None, :]
+    if M_lo is not None:
+        e = e + M_lo * x[..., None, :]
+    return dd_sum((p, e), axis=-1)
+
+
+def dd_scale(x, a):
+    """dd vector × plain scalar/array → dd (error-free hi product)."""
+    xh, xl = x
+    p, e = two_prod(xh, a)
+    return fast_two_sum(p, e + xl * a)
+
+
 def comp_dot(x, y):
     """Compensated dot product of plain vectors: exact products + pairwise
     compensated reduction → ~2^-2p relative error. Returns the dd pair;
