@@ -540,6 +540,7 @@ def matvec(
     v_fib: jax.Array,       # (B, n, 3) velocity at fiber nodes from all objects
     v_boundary: Optional[jax.Array] = None,  # (B, 7) body-link velocity terms
     include_A: bool = True,
+    exact_A: bool = False,
 ) -> jax.Array:
     """Fiber block-row of the global operator (fiber_finite_difference.cpp:276-312).
 
@@ -547,13 +548,22 @@ def matvec(
 
     ``include_A=False`` returns only the velocity-coupling terms W(x) (the
     emulated-precision path evaluates A·s_prev separately in factored
-    double-word arithmetic — ``residual_delta``).
+    double-word arithmetic — ``residual_delta``). ``exact_A=True`` applies
+    the stored f32 operator with error-free products + compensated reduction
+    (the emulated GMRES operator: kills the √(4n)·2^-p matvec noise that
+    otherwise floors the attainable residual).
     """
+    from skellysim_tpu.utils import compensated as comp
+
     B, n = block.n_fibers, block.n_nodes
     dtype = block.x.dtype
     xb = x_all.reshape(B, 4 * n)
-    Ax = (jnp.einsum("brc,bc->br", cache.A, xb) if include_A
-          else jnp.zeros((B, 4 * n), dtype))
+    if not include_A:
+        Ax = jnp.zeros((B, 4 * n), dtype)
+    elif exact_A:
+        Ax = comp.dd_to(comp.dd_matvec_f32exact(cache.A, xb))
+    else:
+        Ax = jnp.einsum("brc,bc->br", cache.A, xb)
     v_fib = jnp.where(block.active[:, None, None], v_fib, 0.0)
 
     s = 2.0 / block.length_prev

@@ -116,10 +116,18 @@ class SpectralPenaltyFiber:
         mul = lambda a, b: ch.multiply(a, b, ne)
         FxC = -E * div.XssssC + mul(div.TC, odiv.XssC) + mul(div.TsC, odiv.XsC)
         FyC = -E * div.YssssC + mul(div.TC, odiv.YssC) + mul(div.TsC, odiv.YsC)
-        # local mobility (I + xs xsᵀ) applied in node space
-        AFxC = FxC + mul(odiv.XsC, mul(odiv.XsC, FxC)) + mul(odiv.XsC, mul(odiv.YsC, FyC))
-        AFyC = (FyC + mul(odiv.YsC, mul(odiv.XsC, FxC))
-                + mul(odiv.YsC, mul(odiv.YsC, FyC)))
+        # local mobility (I + xs xsᵀ) ∘ F with the reference's grouping
+        # (skelly_fiber.hpp:61-68): the MATRIX ENTRIES a_ij = δ_ij + xs_i xs_j
+        # are formed first (each product truncated to n_equations), then
+        # applied to F. Chebyshev multiplication is not associative under
+        # truncation — grouping as xs·(xs·F) instead shifts the result at
+        # ~1e-6 and breaks the Julia golden-data match
+        # (julia_fiber_penalty_results.hpp).
+        axx = mul(odiv.XsC, odiv.XsC).at[0].add(1.0)
+        axy = mul(odiv.XsC, odiv.YsC)
+        ayy = mul(odiv.YsC, odiv.YsC).at[0].add(1.0)
+        AFxC = mul(axx, FxC) + mul(axy, FyC)
+        AFyC = mul(axy, FxC) + mul(ayy, FyC)
         return FxC, FyC, AFxC, AFyC
 
     def evolution(self, AFxC, AFyC, div, odiv, UC, VC, dt):

@@ -39,7 +39,8 @@ def _identity(x):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("matvec", "precond", "restart", "max_restarts"))
+@functools.partial(jax.jit, static_argnames=("matvec", "precond", "restart",
+                                             "max_restarts", "compensated"))
 def gmres(
     matvec: Callable[[jax.Array], jax.Array],
     b: jax.Array,
@@ -49,6 +50,7 @@ def gmres(
     restart: int = 200,
     max_restarts: int = 5,
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    compensated: bool = False,
 ) -> GmresResult:
     """Solve A x = b with right preconditioning: A M⁻¹ y = b, x = M⁻¹ y.
 
@@ -56,6 +58,11 @@ def gmres(
     state; ``b`` is the flat RHS. Convergence is on the relative residual
     ||b - A x|| / ||b||, the same criterion Belos reports as achieved
     tolerance.
+
+    ``compensated=True`` computes the Gram-Schmidt projections and norms
+    with error-free-transform arithmetic (utils/compensated.py) so the
+    orthogonalization noise floor drops from √n·2^-p to ~2^-2p — the
+    emulated-precision mode's route below f32-native residuals.
     """
     M = precond if precond is not None else _identity
     n = b.shape[0]
@@ -63,7 +70,22 @@ def gmres(
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
-    b_norm = jnp.linalg.norm(b)
+    if compensated:
+        from skellysim_tpu.utils import compensated as _comp
+
+        def _norm(v):
+            return _comp.comp_norm(v)
+
+        def _proj(Vb, w):
+            # (m+1, n) @ (n,) with exact products + compensated reduction
+            return _comp.dd_to(_comp.dd_matvec_f32exact(Vb, w))
+    else:
+        _norm = jnp.linalg.norm
+
+        def _proj(Vb, w):
+            return Vb @ w
+
+    b_norm = _norm(b)
     # guard: zero RHS -> zero solution
     safe_b_norm = jnp.where(b_norm > 0.0, b_norm, 1.0)
     tol_abs = tol * safe_b_norm
@@ -76,12 +98,12 @@ def gmres(
         # two-pass classical Gram-Schmidt against the full static basis with a
         # column mask — both passes are (m+1, n) @ (n,) matmuls
         mask = (jnp.arange(m + 1) <= j).astype(dtype)
-        h1 = (V @ w) * mask
+        h1 = _proj(V, w) * mask
         w = w - V.T @ h1
-        h2 = (V @ w) * mask
+        h2 = _proj(V, w) * mask
         w = w - V.T @ h2
         h = h1 + h2
-        w_norm = jnp.linalg.norm(w)
+        w_norm = _norm(w)
         H = H.at[:, j].set(h)
         H = H.at[j + 1, j].set(w_norm)
         V = V.at[j + 1].set(jnp.where(w_norm > 0.0, w / jnp.where(w_norm > 0.0, w_norm, 1.0), w))
@@ -113,7 +135,7 @@ def gmres(
     def outer_body(carry):
         x, total_iters, _, _ = carry
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = _norm(r)
         V0 = jnp.zeros((m + 1, n), dtype)
         V0 = V0.at[0].set(jnp.where(beta > 0.0, r / jnp.where(beta > 0.0, beta, 1.0), r))
         H0 = jnp.zeros((m + 1, m), dtype)

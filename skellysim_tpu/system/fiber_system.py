@@ -244,13 +244,13 @@ def flow(blocks, ops, r_trg: jax.Array, forces: jax.Array, eta,
 
 def matvec(blocks, ops, caches, x_fib: jax.Array, v_fib: jax.Array,
            v_boundary: Optional[List[jax.Array]] = None,
-           include_A: bool = True) -> jax.Array:
+           include_A: bool = True, exact_A: bool = False) -> jax.Array:
     parts = []
     v_split = split_nodes(blocks, v_fib)
     for i, (b, op, c, xb) in enumerate(zip(blocks, ops, caches, split_solution(blocks, x_fib))):
         vb = None if v_boundary is None else v_boundary[i]
         parts.append(ff.matvec(b, op, c, xb, v_split[i], vb,
-                               include_A=include_A))
+                               include_A=include_A, exact_A=exact_A))
     return jnp.concatenate(parts) if parts else jnp.zeros(0)
 
 

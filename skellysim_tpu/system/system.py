@@ -521,7 +521,8 @@ class System:
                 else:
                     v_on_fib = None
                 res = [fs.matvec(blocks, ops, caches, x_f, v[:Nf],
-                                 v_boundary=v_on_fib, include_A=include_A)]
+                                 v_boundary=v_on_fib, include_A=include_A,
+                                 exact_A=emulated)]
                 if has_shell:
                     res.append(shell_ops.matvec(shell_state, x[F:FS],
                                                 v[Nf:Nf + shell_state.n_nodes]))
@@ -563,7 +564,7 @@ class System:
                     v_on_fibers=v_split, f_on_fibers=f_ext)
                 r0 = jnp.concatenate([R_fib - mW[:F], b_vec[F:] - mW[F:]])
                 res = gmres(matvec_fn, r0, tol=gmres_tol, restart=restart,
-                            precond=precond_fn)
+                            precond=precond_fn, compensated=True)
                 x_total = s_prev + res.x
                 new_blocks = fs.step_delta(blocks, res.x[:F])
             else:

@@ -131,3 +131,67 @@ def test_bent_fiber_relaxes_and_stays_inextensible():
     # overall decay and the late-time monotone trend
     assert energies[-1] < 0.9 * energies[0]
     assert energies[-1] < energies[-2] < energies[-3]
+
+
+# ---- cross-implementation golden data (Julia → reference C++ → here) ----
+# The reference validates its spectral fiber against vectors produced by an
+# independent Julia implementation
+# (tests/core/unit_tests/julia_fiber_penalty_results.hpp:11-30,
+#  unit_test_fiber_chebyshev_penalty_autodiff.cpp "real_forces" /
+#  "real_evolution_xy"). tests/golden/julia_spectral_fiber.npz carries the
+# same numbers; matching them pins this implementation to BOTH independent
+# codes.
+
+def _julia_golden():
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "julia_spectral_fiber.npz")
+    return np.load(path)
+
+
+def test_julia_golden_divide_and_construct():
+    g = _julia_golden()
+    fib = SpectralPenaltyFiber(20, 18)
+    div = fib.divide_and_construct(jnp.asarray(g["forces_XX"]), 1.0)
+    np.testing.assert_allclose(np.asarray(div.XC), g["forces_Div_XC_true"],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(div.YC), g["forces_Div_YC_true"],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(div.TC), g["forces_Div_TC_true"],
+                               rtol=0, atol=1e-10)
+
+
+def test_julia_golden_forces():
+    g = _julia_golden()
+    fib = SpectralPenaltyFiber(20, 18)
+    div = fib.divide_and_construct(jnp.asarray(g["forces_XX"]), 1.0)
+    odiv = fib.divide_and_construct(jnp.asarray(g["forces_oldXX"]), 1.0)
+    FxC, FyC, AFxC, AFyC = fib.forces(div, odiv, 1.0)
+    np.testing.assert_allclose(np.asarray(FxC), g["forces_FxC_true"],
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(FyC), g["forces_FyC_true"],
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(AFxC), g["forces_AFxC_true"],
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(AFyC), g["forces_AFyC_true"],
+                               rtol=0, atol=1e-9)
+
+
+def test_julia_golden_evolution():
+    g = _julia_golden()
+    fib = SpectralPenaltyFiber(20, 18)
+    zeta = 1000.0
+    dt = 1.0 / zeta / 4.0
+    XX = jnp.asarray(g["evol_XX"])
+    div = fib.divide_and_construct(XX, 1.0)
+    odiv = fib.divide_and_construct(XX, 1.0)
+    _, _, AFxC, AFyC = fib.forces(div, odiv, 1.0)
+    UC = zeta * div.YC
+    VC = jnp.zeros_like(div.YC)
+    eqXC, eqYC = fib.evolution(AFxC, AFyC, div, odiv, UC, VC, dt)
+    # the reference's own gate is 1e-10 absolute
+    # (unit_test_fiber_chebyshev_penalty_autodiff.cpp EXPECT_NEAR)
+    np.testing.assert_allclose(np.asarray(eqXC), g["evol_eqXC_true"],
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(eqYC), g["evol_eqYC_true"],
+                               rtol=0, atol=1e-10)
