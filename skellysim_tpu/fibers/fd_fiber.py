@@ -217,18 +217,47 @@ def sbt_constants(block: FiberBlock, eta):
     """Local slender-body drag coefficients (fiber_finite_difference.hpp:140-144).
 
     c0 = -ln(e ε²) / (8πη), c1 = 2/(8πη), ε = radius / length.
+
+    ln(e ε²) = 1 + 2 ln ε with the accurate elementwise log
+    (utils/compensated.py): the TPU's f32 log primitive is ~4e-6-accurate,
+    and c0 multiplies every fiber velocity — the error showed up verbatim
+    as a 3.85e-6 drag-gate bias.
     """
+    from skellysim_tpu.utils.compensated import accurate_log
+
     eps = block.radius / block.length
-    c0 = -jnp.log(jnp.e * eps**2) / (8.0 * jnp.pi * eta)
+    c0 = -(1.0 + 2.0 * accurate_log(eps)) / (8.0 * jnp.pi * eta)
     c1 = 2.0 / (8.0 * jnp.pi * eta)
     return c0, jnp.broadcast_to(c1, c0.shape)
 
 
-def derivatives(block: FiberBlock, ops: FiberOperators):
-    """xs..xssss with (2/L_prev)^k scaling (fiber_finite_difference.cpp:62-68)."""
+def derivatives(block: FiberBlock, ops: FiberOperators,
+                ops_lo: Optional["FiberOperatorsLo"] = None):
+    """xs..xssss with (2/L_prev)^k scaling (fiber_finite_difference.cpp:62-68).
+
+    With ``ops_lo`` (emulated mode) the D_k applications run as double-word
+    matvecs of the (hi, lo) matrix/state pairs: the FD row sums cancel
+    ~(n/2)^k orders for smooth fibers, and the TPU's matmul passes lose
+    ~100× more of that cancellation than true-f32 FMA chains (measured:
+    A-entry error 4.5e-1 on chip vs 4.6e-3 CPU-f32 for the same state) —
+    enough to bias drag velocities at ~4e-6 relative.
+    """
     s = 2.0 / block.length_prev
-    dx = lambda D, k: (s**k)[:, None, None] * jnp.einsum("ab,nbc->nac", D, block.x)
-    return dx(ops.D1, 1), dx(ops.D2, 2), dx(ops.D3, 3), dx(ops.D4, 4)
+    if ops_lo is None:
+        dx = lambda D, k: (s**k)[:, None, None] * jnp.einsum("ab,nbc->nac", D, block.x)
+        return dx(ops.D1, 1), dx(ops.D2, 2), dx(ops.D3, 3), dx(ops.D4, 4)
+
+    from skellysim_tpu.utils import compensated as comp
+
+    def dx(D, D_lo, k):
+        vh = jnp.moveaxis(block.x, 1, 2)
+        vl = jnp.moveaxis(block.x_lo, 1, 2)
+        d = comp.dd_matvec(D, vh, M_lo=D_lo, x_lo=vl)
+        d = comp.dd_scale(d, (s**k)[:, None, None])
+        return jnp.moveaxis(comp.dd_to(d), 2, 1)
+
+    return (dx(ops.D1, ops_lo.D1, 1), dx(ops.D2, ops_lo.D2, 2),
+            dx(ops.D3, ops_lo.D3, 3), dx(ops.D4, ops_lo.D4, 4))
 
 
 def assemble_linear_operator(
@@ -776,13 +805,20 @@ def residual_delta(
                            (xs_len_dd[0][:, :, j], xs_len_dd[1][:, :, j]))
         acc = prod if acc is None else comp.dd_add(acc, prod)
     R_T = p_pen[:, None] * comp.dd_to(comp.dd_add_f(acc, -1.0))
-    sD1 = sl * ops.D1                                  # (B, n, n), RHS scaling
+
+    # D1·flow and D1·f as dd matvecs: these are the last matmuls in the
+    # residual path, and on TPU a plain einsum of the FD weights loses the
+    # row cancellation at ~1e-6 relative — measured as exactly the drag-gate
+    # bias (constant across dt and gmres_tol) before this change
+    def d1_of(v):
+        h, l = comp.dd_matvec(ops.D1, jnp.moveaxis(v, 1, 2),
+                              M_lo=ops_lo.D1)
+        return jnp.moveaxis(comp.dd_to(comp.dd_scale((h, l), sl)), 2, 1)
+
     if flow is not None:
-        du = jnp.einsum("bnm,bmc->bnc", sD1, flow)
-        R_T = R_T + jnp.sum(xs * du, axis=-1)
+        R_T = R_T + jnp.sum(xs * d1_of(flow), axis=-1)
     if f_external is not None:
-        df = jnp.einsum("bnm,bmc->bnc", sD1, f_external)
-        R_T = R_T + 2.0 * c0[:, None] * jnp.sum(xs * df, axis=-1)
+        R_T = R_T + 2.0 * c0[:, None] * jnp.sum(xs * d1_of(f_external), axis=-1)
         R_T = R_T + (c0 - c1)[:, None] * jnp.sum(xss * f_external, axis=-1)
     # −A_Tx·x (p-term already above) and −A_TT·T
     R_T = R_T + (c1 + 7.0 * c0)[:, None] * E[:, None] * jnp.sum(xss * d4x, axis=-1)
@@ -855,14 +891,19 @@ def update_cache(
     f_external: Optional[jax.Array] = None,
     v_on_fiber: Optional[jax.Array] = None,
     f_on_fiber: Optional[jax.Array] = None,
+    ops_lo: Optional[FiberOperatorsLo] = None,
 ) -> FiberBlockCache:
     """One-shot per-step cache build: derivatives → A → RHS → BCs → LU.
 
     Fuses the reference's update_cache_variables + update_RHS + apply_bcs
-    sequence (system.cpp:398-458) for a whole block under jit.
+    sequence (system.cpp:398-458) for a whole block under jit. ``ops_lo``
+    (emulated mode) routes the derivative chains through double-word
+    matvecs so the assembled operator's coefficients are accurate on
+    backends whose matmul passes lose the FD cancellation (see
+    ``derivatives``).
     """
     c0, c1 = sbt_constants(block, eta)
-    xs, xss, xsss, xssss = derivatives(block, ops)
+    xs, xss, xsss, xssss = derivatives(block, ops, ops_lo)
     A = assemble_linear_operator(block, ops, xs, xss, xsss, c0, c1, dt)
     F = assemble_force_operator(block, ops, xs, xss)
     RHS = update_rhs(block, ops, xs, xss, c0, c1, dt, flow, f_external)

@@ -423,6 +423,56 @@ def _near_clusters_xla(src_r, src_f, trg_r, rows, srcs, kind: str, a: float):
     return acc[:-1]
 
 
+def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
+                            mesh, kind: str = "stokeslet",
+                            use_pallas: bool = None) -> jax.Array:
+    """Multi-device near field: the COO pairlist's CHUNK axis shards across
+    the mesh; each device accumulates its pair chunks into a full-size
+    cluster output and one psum combines them.
+
+    Chunks are contiguous slices of the row-sorted pairlist, so each device
+    touches a contiguous row range — the per-chunk coverage masking the
+    single-device path already does makes the partial sums add exactly.
+    Cluster stores stay replicated (3·N floats — cheap); this is the
+    pairwise analogue of the reference's source-local/targets-global MPI
+    N-body distribution (system.cpp:287-316).
+    """
+    import numpy as _np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    nd = int(_np.prod(list(mesh.shape.values())))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    src_f = bin_payload(plan, payload)
+    rows, srcs, first = plan.rows, plan.srcs, plan.first
+    pad = (-rows.shape[0]) % nd
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)),
+                       constant_values=plan.trg_r.shape[0] - 1)
+        srcs = jnp.pad(srcs, ((0, pad), (0, 0)),
+                       constant_values=plan.src_r.shape[0] - 1)
+        first = jnp.pad(first, ((0, pad), (0, 0)), constant_values=1)
+
+    def body(rows_l, srcs_l, first_l, src_r, sf, trg_r):
+        if use_pallas:
+            u = _near_clusters_pallas(
+                src_r.astype(jnp.float32), sf.astype(jnp.float32),
+                trg_r.astype(jnp.float32), rows_l, srcs_l, first_l, kind,
+                float(a)).astype(payload.dtype)
+        else:
+            u = _near_clusters_xla(src_r, sf, trg_r, rows_l, srcs_l, kind,
+                                   float(a))
+        return jax.lax.psum(u, axis)
+
+    u_cl = shard_map(body, mesh,
+                     in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+                     out_specs=P(), check_rep=False)(
+        rows, srcs, first, plan.src_r, src_f, plan.trg_r)
+    return unbin_targets(plan, u_cl)
+
+
 def near_apply_plan(plan: ClusterPlan, payload: jax.Array, a: float,
                     kind: str = "stokeslet", use_pallas: bool = None,
                     interpret: bool = False) -> jax.Array:

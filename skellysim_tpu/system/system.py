@@ -483,6 +483,7 @@ class System:
                 blocks, ops, eta, dt, bc_minus, bc_plus,
                 flows=v_split, f_externals=total_f,
                 v_on_fibers=v_split, f_on_fibers=f_ext,
+                ops_lo=ops_lo if emulated else None,
             )
             rhs_parts = [fs.rhs(caches)]
             if has_shell:

@@ -121,3 +121,82 @@ def test_ring_schedule_matches_single_device():
     got = fn(r_src, f, r_trg, 0.8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12,
                                atol=1e-14)
+
+
+def test_sharded_step_all_block_types(tmp_path, monkeypatch):
+    """Fibers batch-sharded + periphery row-sharded + bodies replicated, in
+    ONE step — the production layout with every solution block type present
+    (the reference's fiber round-robin / periphery Scatterv / body rank-0
+    triple, SURVEY §2.3). Must reproduce the unsharded step exactly."""
+    monkeypatch.chdir(tmp_path)
+    from skellysim_tpu.config import Body, Config, Fiber, Periphery
+    from skellysim_tpu.io import tomlio
+    from skellysim_tpu.precompute.main import precompute_body, precompute_periphery
+    from skellysim_tpu.system import System
+
+    config = Config()
+    config.params.eta = 1.0
+    config.params.dt_initial = 1e-3
+    config.params.gmres_tol = 1e-10
+    config.params.pair_evaluator = "direct"
+    config.periphery = Periphery(n_nodes=400, shape="sphere", radius=6.0,
+                                 precompute_file="peri.npz")
+    config.bodies = [Body(
+        shape="sphere", radius=0.5, n_nodes=200, position=[0.0, 0.0, -1.5],
+        external_force=[0.0, 0.0, 0.1],
+        nucleation_sites=[0.0, 0.0, 0.5],
+        precompute_file="body_precompute.npz")]
+    rng = np.random.default_rng(11)
+    fibers = []
+    for i in range(8):
+        f = Fiber(force_scale=0.05, length=0.75, n_nodes=8,
+                  bending_rigidity=0.0025)
+        f.fill_node_positions(np.array([1.5 + 0.2 * i, 0.0, 0.0]),
+                              np.array([0.0, 0.0, 1.0]))
+        fibers.append(f)
+    config.fibers = fibers
+    config.save("skelly_config.toml")
+    cfg = tomlio.load("skelly_config.toml")
+    precompute_periphery(cfg)
+    precompute_body(cfg["bodies"][0])
+    system = System(cfg)
+
+    tail = (system.bodies.states(), system.point_sources, system.background,
+            jnp.asarray(1e-3), jnp.asarray(0.0))
+    out_ref = system._step_fn(system.fibers.blocks, system.shell.state, *tail)
+    sol_ref = np.asarray(out_ref[3])
+
+    mesh = pmesh.make_mesh(8)
+    blocks_sh = [pmesh.shard_block_leaves(b, mesh)
+                 for b in system.fibers.blocks]
+    shell_sh = pmesh.shard_shell_state(system.shell.state, mesh)
+    out_sh = system._step_fn(blocks_sh, shell_sh, *tail)
+    sol_sh = np.asarray(out_sh[3])
+    np.testing.assert_allclose(sol_sh, sol_ref, rtol=1e-9, atol=1e-11)
+    assert bool(out_sh[7])
+
+
+def test_sharded_ewald_apply_matches_single_device():
+    """Explicit multi-device Ewald: pairlist chunks sharded (near) +
+    points-sharded/grid-psum (far) vs the single-device apply."""
+    from skellysim_tpu.kernels.ewald import EwaldStokeslet, EwaldStresslet
+
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(3)
+    N = 500
+    pts = jnp.asarray(rng.uniform(0.0, 2.0, (N, 3)))
+    f = jnp.asarray(rng.normal(size=(N, 3)))
+    ew = EwaldStokeslet(lo=[0, 0, 0], hi=[2, 2, 2], a=0.15,
+                        dtype=jnp.float64)
+    want = np.asarray(ew.apply(pts, f, pts, 0.9))
+    ew.mesh = mesh
+    got = np.asarray(ew.apply(pts, f, pts, 0.9))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    S = jnp.asarray(rng.normal(size=(N, 3, 3)))
+    es = EwaldStresslet(lo=[0, 0, 0], hi=[2, 2, 2], a=0.15,
+                        dtype=jnp.float64)
+    want = np.asarray(es.apply(pts, S, pts, 0.9))
+    es.mesh = mesh
+    got = np.asarray(es.apply(pts, S, pts, 0.9))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
