@@ -56,7 +56,13 @@ def shard_shell_state(shell_state, mesh: Mesh):
     rep = replicated(mesh)
     return shell_state.replace(
         M_inv=jax.device_put(shell_state.M_inv, row_sh),
-        A=jax.device_put(shell_state.A, row_sh),
+        # matrix-free shells (A is None) have no dense operator to shard;
+        # their apply is a pairwise kernel that GSPMD partitions from the
+        # input shardings
+        A=(jax.device_put(shell_state.A, row_sh)
+           if shell_state.A is not None else None),
+        e_sub=(jax.device_put(shell_state.e_sub, rep)
+               if shell_state.e_sub is not None else None),
         nodes=jax.device_put(shell_state.nodes, rep),
         normals=jax.device_put(shell_state.normals, rep),
         weights=jax.device_put(shell_state.weights, rep),

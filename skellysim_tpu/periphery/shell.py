@@ -51,10 +51,20 @@ class ShellState:
     nodes: jax.Array        # (N, 3)
     normals: jax.Array      # (N, 3) inward-pointing (into the domain)
     weights: jax.Array      # (N,)
-    M_inv: jax.Array        # (3N, 3N)
-    A: jax.Array            # (3N, 3N) stresslet + complementary operator
+    M_inv: jax.Array        # (3N, 3N); bf16 in matrix-free mode (it is only
+                            # a preconditioner — entry rounding shifts
+                            # convergence, never the solution)
+    A: jax.Array            # (3N, 3N) stresslet + complementary operator,
+                            # or None in MATRIX-FREE mode: the operator's
+                            # action is one dense pairwise stresslet apply
+                            # (the Pallas kernel) + O(N) corrections — at
+                            # large N the kernel is as fast as streaming the
+                            # stored matrix from HBM and saves (3N)²·4 B
+                            # per operator (the 788k-DOF OOM: 2 × 1.6 GB)
     solution: jax.Array     # (3N,) current density solution (node-major)
     blocked: bool = struct.field(pytree_node=False, default=False)
+    e_sub: jax.Array = None  # (3, 3, N) singularity-subtraction vectors
+                             # (only needed by the matrix-free apply)
 
     @property
     def n_nodes(self) -> int:
@@ -196,6 +206,38 @@ def build_shell_operators(nodes: jax.Array, normals: jax.Array,
     return A, M_inv
 
 
+def build_shell_operators_with_esub(nodes, normals, weights):
+    """(A, M_inv, e_sub): like build_shell_operators, additionally returning
+    the (3, 3, N) singularity-subtraction vectors the matrix-free apply
+    needs (the dense A is only a build-time transient in that mode)."""
+    N = nodes.shape[0]
+    d = nodes[:, None, :] - nodes[None, :, :]
+    r2 = jnp.sum(d * d, axis=-1)
+    nonzero = r2 > 0.0
+    rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
+    dn = jnp.einsum("ijk,jk->ij", d, normals)
+    coeff = (-3.0 / (4.0 * jnp.pi)) * dn * rinv**5
+    da = [d[:, :, a] for a in range(3)]
+    inv_w = 1.0 / weights
+    blocks = [[coeff * da[a] * da[b] for b in range(3)] for a in range(3)]
+    e_sub = jnp.stack([
+        jnp.stack([jnp.sum(blocks[a][k] * weights[None, :], axis=1)
+                   for k in range(3)])
+        for a in range(3)])                                  # (3, 3, N)
+    for k in range(3):
+        for a in range(3):
+            blocks[a][k] = blocks[a][k] - jnp.diag(e_sub[a, k] * inv_w)
+    for a in range(3):
+        blocks[a][a] = blocks[a][a] - jnp.diag(inv_w)
+    for a in range(3):
+        for b in range(3):
+            blocks[a][b] = blocks[a][b] + jnp.outer(normals[:, a],
+                                                    normals[:, b])
+    A = jnp.block(blocks)
+    M_inv = newton_schulz_inverse(A)
+    return A, M_inv, e_sub
+
+
 def shell_from_geometry(periphery_table: dict, dtype=jnp.float32) -> "Shell":
     """Build a Shell entirely from the config geometry: surface + quadrature
     host-side (O(N) data), dense operators assembled and inverted on device.
@@ -232,11 +274,24 @@ def shell_from_geometry(periphery_table: dict, dtype=jnp.float32) -> "Shell":
     nodes_d = jnp.asarray(surf.nodes, dtype)
     normals_d = jnp.asarray(normals, dtype)
     weights_d = jnp.asarray(weights, dtype)
-    A, M_inv = jax.jit(build_shell_operators)(nodes_d, normals_d, weights_d)
-    state = ShellState(nodes=nodes_d, normals=normals_d, weights=weights_d,
-                       M_inv=M_inv, A=A,
-                       solution=jnp.zeros(3 * surf.nodes.shape[0], dtype),
-                       blocked=True)
+    if periphery_table.get("matrix_free"):
+        A, M_inv, e_sub = jax.jit(build_shell_operators_with_esub)(
+            nodes_d, normals_d, weights_d)
+        # drop the GB-class stored operator; demote the precond to bf16
+        state = ShellState(nodes=nodes_d, normals=normals_d,
+                           weights=weights_d,
+                           M_inv=M_inv.astype(jnp.bfloat16), A=None,
+                           solution=jnp.zeros(3 * surf.nodes.shape[0], dtype),
+                           blocked=True, e_sub=e_sub)
+        del A, M_inv
+    else:
+        A, M_inv = jax.jit(build_shell_operators)(nodes_d, normals_d,
+                                                  weights_d)
+        state = ShellState(nodes=nodes_d, normals=normals_d,
+                           weights=weights_d,
+                           M_inv=M_inv, A=A,
+                           solution=jnp.zeros(3 * surf.nodes.shape[0], dtype),
+                           blocked=True)
     return Shell(state, shape=shape,
                  radius=float(periphery_table.get("radius", 0.0)),
                  abc=(float(periphery_table.get("a", 0.0)),
@@ -264,12 +319,41 @@ def _apply(state: ShellState, M: jax.Array, x: jax.Array) -> jax.Array:
     return M @ x
 
 
+def second_kind_apply_free(state: ShellState, x: jax.Array) -> jax.Array:
+    """A·x WITHOUT the stored operator: one dense pairwise stresslet apply
+    (Pallas on accelerators, the XLA reference kernel on CPU) plus the O(N)
+    corrections (singularity subtraction, −1/w diagonal, nnᵀ completion).
+    Node-major in/out — the solution-vector layout."""
+    N = state.n_nodes
+    q = x.reshape(N, 3)
+    S = state.normals[:, :, None] * q[:, None, :]
+    if jax.default_backend() == "cpu":
+        from skellysim_tpu.kernels.reference import stresslet_apply as ev
+    else:
+        from skellysim_tpu.kernels.pallas_tpu import (
+            stresslet_apply_pallas as ev)
+    # T's block coefficient is −3/4π: 2× the stresslet kernel's −3/8π at η=1
+    y = 2.0 * ev(state.nodes, S, state.nodes, 1.0)
+    inv_w = 1.0 / state.weights
+    y = y - jnp.einsum("aki,ik->ia", state.e_sub * inv_w[None, None, :], q)
+    y = y - inv_w[:, None] * q
+    y = y + state.normals * jnp.sum(state.normals * q)
+    return y.reshape(-1)
+
+
 def matvec(state: ShellState, x: jax.Array, v_on_shell: jax.Array) -> jax.Array:
     """A x + v (the shell block-row of the global operator)."""
+    if state.A is None:
+        return second_kind_apply_free(state, x) + v_on_shell.reshape(-1)
     return _apply(state, state.A, x) + v_on_shell.reshape(-1)
 
 
 def precondition(state: ShellState, x: jax.Array) -> jax.Array:
+    if state.M_inv.dtype == jnp.bfloat16:
+        xm = _cm(x) if state.blocked else x
+        y = jax.lax.dot(state.M_inv, xm.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        return _nm(y) if state.blocked else y
     return _apply(state, state.M_inv, x)
 
 

@@ -119,6 +119,7 @@ class Params:
         # and a fixed bounding box [lo, hi] (None → geometry extent + margin)
         self.ewald_a = g("ewald_a", None)
         self.ewald_points_per_a = g("ewald_points_per_a", 3.0)
+        self.ewald_support = g("ewald_support", None)
         self.ewald_box = g("ewald_box", None)
         self.ewald_cap = g("ewald_cap", 192)
         self.precision = g("precision", "double")
@@ -252,6 +253,7 @@ class System:
             a = max((vol / max(len(allp), 1)) ** (1.0 / 3.0), 1e-3)
         kw = dict(lo=lo, hi=hi, a=float(a),
                   points_per_a=self.params.ewald_points_per_a,
+                  support=self.params.ewald_support,
                   cap=self.params.ewald_cap, dtype=self.dtype)
         stk = EwaldStokeslet(**kw)
         st = EwaldStresslet(grid=stk.grid, **kw)
