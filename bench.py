@@ -80,6 +80,84 @@ def _bench_system_step(n_fibers=64, n_nodes=32, evaluator="direct"):
     return max(total - readback, 1e-9) / iters
 
 
+def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
+    """Dense-Pallas vs spectral-Ewald apply time over N (the reference's
+    n_src/n_trg sweep, performance_hydrodynamics_combined.cpp:37-108).
+    Returns {n: {"dense_s": t|None, "ewald_s": t}} and prints the table."""
+    import jax
+    import jax.numpy as jnp
+
+    from skellysim_tpu.kernels.ewald import EwaldStokeslet
+    from skellysim_tpu.kernels.pallas_tpu import stokeslet_apply_pallas
+
+    out = {}
+    for n in sizes:
+        rng = np.random.default_rng(n)
+        L = (n / 50000.0) ** (1.0 / 3.0) * 4.0   # fixed density
+        r = jnp.asarray(rng.uniform(0, L, (n, 3)), jnp.float32)
+        fv = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        row = {}
+        if n <= 300000:   # dense beyond 3e5 ≈ tens of seconds/apply
+            k = lambda a, f, t: stokeslet_apply_pallas(a, f, t, 1.0)
+
+            @jax.jit
+            def run_d(a, f):
+                def body(i, u):
+                    return k(a, 1e-3 * u + f, a)
+                return jnp.sum(jax.lax.fori_loop(0, 3, body, f))
+
+            float(run_d(r, fv))
+            t0 = time.perf_counter()
+            float(run_d(r, fv))
+            row["dense_s"] = (time.perf_counter() - t0) / 3
+        else:
+            row["dense_s"] = None
+        a_split = 1.5 * L / n ** (1.0 / 3.0)
+        ew = EwaldStokeslet(lo=[0, 0, 0], hi=[L] * 3, a=a_split,
+                            points_per_a=2.5, dtype=jnp.float32)
+        # size capacities from actual occupancy (what System does)
+        gl = np.asarray(ew.grid.lo)
+        pts = np.asarray(r)
+        sx = np.floor((pts[:, 0] - gl[0]) / ew.grid.h + 0.5).astype(int)
+        ew.slab_cap = int(-(-int(2 * np.bincount(sx - sx.min()).max() + 64)
+                            // 128) * 128)
+        from skellysim_tpu.system.system import _pairlist_total
+        ew.pair_total = int(-(-int(1.5 * _pairlist_total(
+            pts, ew.lo, ew.r_cut) + 64) // 4096) * 4096)
+        sp = ew.spectra()
+
+        @jax.jit
+        def run_e(r_, f_, sp_):
+            def body(i, acc):
+                u = ew.apply_with(sp_, r_ + acc * 1e-30, f_, r_, 1.0)
+                return jnp.sum(u) * 1e-30
+            return jax.lax.fori_loop(0, 3, body, jnp.asarray(0.0, jnp.float32))
+
+        try:
+            float(run_e(r, fv, sp))
+            t0 = time.perf_counter()
+            float(run_e(r, fv, sp))
+            row["ewald_s"] = (time.perf_counter() - t0) / 3
+        except Exception as e:
+            print(f"  ewald n={n} failed: {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
+            row["ewald_s"] = None
+        d = "-" if row["dense_s"] is None else f"{row['dense_s']*1e3:8.1f}"
+        w = "-" if row["ewald_s"] is None else f"{row['ewald_s']*1e3:8.1f}"
+        print(f"  crossover n={n:>7d}: dense {d} ms/apply, ewald {w} ms/apply",
+              file=sys.stderr)
+        out[n] = row
+    return out
+
+
+# v5e VPU peak: 8 vector units/core... public figure 937.5 MHz × 1024 f32
+# lanes × 2 (FMA) ≈ 1.92 TFLOP/s; the pairwise kernels are VPU-bound
+# (elementwise + rsqrt), not MXU-bound.
+_V5E_VPU_PEAK_FLOPS = 1.92e12
+_STOKESLET_FLOPS_PER_PAIR = 30.0
+_STRESSLET_FLOPS_PER_PAIR = 60.0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -178,20 +256,43 @@ def main():
                 print(f"tpu {name} failed: {e}", file=sys.stderr)
         best = max(rates.values())
         value, ratio = best, best / cpu_rate
+        mfu_stokeslet = best * _STOKESLET_FLOPS_PER_PAIR / _V5E_VPU_PEAK_FLOPS
+        try:
+            mfu_stresslet = (n * n / dt_str * _STRESSLET_FLOPS_PER_PAIR
+                             / _V5E_VPU_PEAK_FLOPS)
+        except Exception:
+            mfu_stresslet = None
+        print(f"VPU roofline: stokeslet {mfu_stokeslet:.1%} of "
+              f"{_V5E_VPU_PEAK_FLOPS/1e12:.2f} TFLOP/s peak "
+              f"(+1 rsqrt/pair not counted)", file=sys.stderr)
         try:
             dt_step = _bench_system_step(evaluator="pallas")
             print(f"tpu coupled step f32 (64 fibers x 32 nodes): {dt_step*1e3:.1f} ms",
                   file=sys.stderr)
         except Exception as e:
             print(f"coupled-step bench failed: {e}", file=sys.stderr)
+        try:
+            crossover = _crossover_sweep(dev)
+        except Exception as e:
+            print(f"crossover sweep failed: {e}", file=sys.stderr)
+            crossover = {}
     else:
         value, ratio = cpu_rate, 1.0
+        mfu_stokeslet = mfu_stresslet = None
+        crossover = {}
 
     print(json.dumps({
         "metric": "pairwise stokeslet interactions/s/chip (f32 on-chip, chained-loop timing, vs f64 XLA-CPU baseline)",
         "value": value,
         "unit": "interactions/s",
         "vs_baseline": ratio,
+        "vpu_mfu_stokeslet": mfu_stokeslet,
+        "vpu_mfu_stresslet": mfu_stresslet,
+        "vpu_peak_flops_assumed": _V5E_VPU_PEAK_FLOPS,
+        "crossover_ms_per_apply": {
+            str(k): {kk: (None if vv is None else vv * 1e3)
+                     for kk, vv in v.items()}
+            for k, v in crossover.items()},
     }))
 
 

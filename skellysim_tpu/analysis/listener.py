@@ -64,10 +64,17 @@ def serve(system, stdin: Optional[BinaryIO] = None, stdout: Optional[BinaryIO] =
             continue
         frame = reader.load_frame(frame_no)
         system.load_frame_state(frame)
-        # evaluator hot-swap (listener.cpp:117 / System::set_evaluator)
+        # evaluator hot-swap (listener.cpp:117 / System::set_evaluator).
+        # Invalidate any cached Ewald evaluators: their box and capacities
+        # were sized for the geometry at construction — a swap after
+        # loading a different frame's geometry would otherwise reuse stale
+        # capacities and silently drop interactions.
         requested = cmd.get("evaluator")
         if requested and requested != system.params.pair_evaluator:
             system.params.pair_evaluator = requested
+            system._ewald_pair = None
+            if requested == "ewald":
+                system._ewald_state = system._ewald_objects()[0].spectra()
             system._velocity_fn = system._build_velocity_fn()
 
         stream_req = cmd.get("streamlines", {})

@@ -16,6 +16,12 @@ volume for target-sharded layouts and can be swapped in later for
 memory-bound regimes.
 
 Works identically on a virtual CPU mesh (tests, driver dryrun) and real ICI.
+
+STATUS: validated reference schedules + benchmark utilities. The production
+`System` path distributes via GSPMD from input shardings (dense tier) and
+the explicit shard_map Ewald applies (kernels/ewald.far_field_apply_sharded,
+kernels/ewald_near_cluster.near_apply_plan_sharded) — see
+docs/distribution.md "Production path".
 """
 
 from __future__ import annotations

@@ -122,6 +122,7 @@ class Params:
         self.ewald_support = g("ewald_support", None)
         self.ewald_box = g("ewald_box", None)
         self.ewald_cap = g("ewald_cap", 192)
+        self.ewald_tol_override = g("ewald_tol_override", False)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
@@ -299,12 +300,18 @@ class System:
                     "slab_cap=%d near_caps=(%d,%d) pair_total=%d",
                     np.round(lo, 3), np.round(hi, 3), a, stk.grid.shape,
                     stk.slab_cap, stk.cap, st.cap, stk.pair_total)
-        if (self.dtype == jnp.float32 and self.params.gmres_tol < 1e-4):
-            logger.warning(
-                "gmres_tol %.1e is below the f32 spectral-Ewald evaluator "
-                "accuracy (~2e-5 relative); GMRES may stall at the noise "
-                "floor and burn iterations — consider tol >= 1e-4 or "
-                "precision='double'", self.params.gmres_tol)
+        if (self.dtype == jnp.float32 and self.params.gmres_tol < 1e-4
+                and not self.params.ewald_tol_override):
+            # fail fast: below the evaluator's noise floor GMRES stalls and
+            # burns restart×max_restarts iterations per step for no accuracy
+            # (reference sanity_check precedent, system.cpp:618-627)
+            raise ValueError(
+                f"gmres_tol {self.params.gmres_tol:.1e} is below the f32 "
+                "spectral-Ewald evaluator accuracy (~2e-5 relative): GMRES "
+                "would stall at the evaluator noise floor. Use gmres_tol "
+                ">= 1e-4, precision='double' (CPU), or pair_evaluator="
+                "'pallas'/'direct'; set params.ewald_tol_override = true "
+                "to proceed anyway.")
         self._ewald_pair = (stk, st)
         self._ewald_state = stk.spectra()
         return self._ewald_pair
@@ -329,6 +336,7 @@ class System:
         has_points = int(np.asarray(self.point_sources.position).shape[0]) > 0
         has_background = self.background.is_active
         has_shell = self.shell is not None
+        interaction = p.periphery_interaction_flag and has_shell
         shell_shape = self.shell.shape if has_shell else None
         shell_radius = self.shell.radius if has_shell else 0.0
         shell_abc = self.shell.abc if has_shell else (0.0, 0.0, 0.0)
@@ -454,7 +462,11 @@ class System:
                 ev_str_shell = ev_str_body = ev_str
 
             # --- pre-solve external forces and velocities (prep_state) ---
-            if has_shell:
+            # steric wall repulsion only when periphery_interaction_flag is
+            # set — the reference's DEFAULT IS FALSE (params.cpp:18), and
+            # applying it unconditionally biased the fdfiber-compression
+            # regression (golden run has binding but no repulsion) by ~1.2%
+            if has_shell and interaction:
                 f_ext = [_repulsion(b) for b in blocks]
                 f_ext_cat = jnp.concatenate([f.reshape(-1, 3) for f in f_ext], axis=0) \
                     if f_ext else jnp.zeros((0, 3))
