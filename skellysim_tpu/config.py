@@ -78,6 +78,7 @@ class Params:
     ewald_points_per_a: float = 3.0              # grid resolution (accuracy knob)
     ewald_box: Optional[list] = None             # [[lo3],[hi3]] fixed box (None → auto)
     ewald_cap: int = 192                         # near-field cell capacity
+    ewald_hybrid: bool = True                    # route small-pair-count couplings to the dense kernels
 
 
 @dataclass

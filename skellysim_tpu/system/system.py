@@ -123,6 +123,7 @@ class Params:
         self.ewald_box = g("ewald_box", None)
         self.ewald_cap = g("ewald_cap", 192)
         self.ewald_tol_override = g("ewald_tol_override", False)
+        self.ewald_hybrid = g("ewald_hybrid", True)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
@@ -384,6 +385,32 @@ class System:
         use_ewald = p.pair_evaluator == "ewald"
         if use_ewald:
             ew_stk, ew_str = self._ewald_objects()
+            # Hybrid tier selection (trace-time — all counts are static).
+            # One spectral apply costs O(n_src+n_trg) spread/interp plus the
+            # grid FFTs — a few hundred ms at oocyte scale — no matter how
+            # FEW sources there are. Couplings with a small dense pair count
+            # (the shell/body double layers: thousands of surface nodes vs
+            # 1e5 fiber nodes) are faster through the dense tiled kernels,
+            # and the Hasimoto split is exact, so mixing tiers is exact too.
+            # 2e9 pairs ≈ 100-150 ms of dense Pallas work on a v5e — about
+            # half a spectral apply at single-chip scales.
+            n_shell_nodes = self.shell.state.n_nodes if has_shell else 0
+            n_all_nodes = Nf + n_shell_nodes + Nb
+            _cutoff = 2e9 if p.ewald_hybrid else -1.0
+            ewald_fib_tier = Nf * n_all_nodes > _cutoff
+            ewald_shell_tier = n_shell_nodes * (Nf + Nb) > _cutoff
+            ewald_body_tier = Nb * n_all_nodes > _cutoff
+            dense_stk, dense_str = select_evaluators("pallas")
+            if p.ewald_hybrid:
+                logger.info(
+                    "ewald hybrid tiers: fiber stokeslet=%s shell "
+                    "stresslet=%s body stresslet=%s (dense pair counts "
+                    "%.2g / %.2g / %.2g, cutoff %.2g)",
+                    "ewald" if ewald_fib_tier else "dense",
+                    "ewald" if ewald_shell_tier else "dense",
+                    "ewald" if ewald_body_tier else "dense",
+                    Nf * n_all_nodes, n_shell_nodes * (Nf + Nb),
+                    Nb * n_all_nodes, _cutoff)
 
         @jax.jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
@@ -426,22 +453,26 @@ class System:
                 # matvec (and between the prep flow and the solve). The
                 # plans also COUNT capacity overflow; the host regrows
                 # capacities and re-runs when ewald_dropped > 0 instead of
-                # silently losing interactions.
-                plan_fib = ew_stk.make_near_plan(r_fib, r_all)
-                ewald_dropped = ewald_dropped + plan_fib.dropped
-                from skellysim_tpu.kernels.ewald import slab_dropped as _sd
-                g = ew_stk.grid
-                ewald_dropped = ewald_dropped + _sd(
-                    r_all.astype(ew_stk.dtype), g.lo, g.h,
-                    int(g.logical[0]), ew_stk.slab_cap)
+                # silently losing interactions. Tiers the hybrid routed to
+                # the dense kernels build no plan and count no overflow.
+                if ewald_fib_tier:
+                    plan_fib = ew_stk.make_near_plan(r_fib, r_all)
+                    ewald_dropped = ewald_dropped + plan_fib.dropped
+                    from skellysim_tpu.kernels.ewald import slab_dropped as _sd
+                    g = ew_stk.grid
+                    ewald_dropped = ewald_dropped + _sd(
+                        r_all.astype(ew_stk.dtype), g.lo, g.h,
+                        int(g.logical[0]), ew_stk.slab_cap)
 
-                def ev_stk(r_src, f_src, r_trg, eta_=eta):
-                    assert r_src.shape[0] == r_fib.shape[0], \
-                        "stokeslet plan mismatch"
-                    return ew_stk.apply_with(ewald_state, r_src, f_src,
-                                             r_trg, eta_, plan=plan_fib)
+                    def ev_stk(r_src, f_src, r_trg, eta_=eta):
+                        assert r_src.shape[0] == r_fib.shape[0], \
+                            "stokeslet plan mismatch"
+                        return ew_stk.apply_with(ewald_state, r_src, f_src,
+                                                 r_trg, eta_, plan=plan_fib)
+                else:
+                    ev_stk = dense_stk
 
-                if has_shell:
+                if has_shell and ewald_shell_tier:
                     plan_shell = ew_str.make_near_plan(shell_state.nodes,
                                                        r_fibbody)
                     ewald_dropped = ewald_dropped + plan_shell.dropped
@@ -450,7 +481,9 @@ class System:
                         return ew_str.apply_with(ewald_state, r_src, S,
                                                  r_trg, eta_,
                                                  plan=plan_shell)
-                if has_bodies:
+                else:
+                    ev_str_shell = dense_str
+                if has_bodies and ewald_body_tier:
                     plan_body = ew_str.make_near_plan(
                         bcont.positions(body_caches), r_all)
                     ewald_dropped = ewald_dropped + plan_body.dropped
@@ -458,6 +491,8 @@ class System:
                     def ev_str_body(r_src, S, r_trg, eta_=eta):
                         return ew_str.apply_with(ewald_state, r_src, S,
                                                  r_trg, eta_, plan=plan_body)
+                else:
+                    ev_str_body = dense_str
             else:
                 ev_str_shell = ev_str_body = ev_str
 
@@ -680,8 +715,17 @@ class System:
             from skellysim_tpu.body import rigid
 
             if use_ewald:
-                ev_stk = partial(ew_stk.apply_with, ewald_state)
-                ev_str = partial(ew_str.apply_with, ewald_state)
+                # same hybrid cost model as the step: r_trg.shape is static
+                # at trace time, so small-pair-count analysis queries (a few
+                # streamline seeds against a big system) go dense
+                n_src_max = sum(b.n_fibers * b.n_nodes for b in blocks) \
+                    + (shell_state.n_nodes if has_shell else 0)
+                if (p.ewald_hybrid
+                        and n_src_max * r_trg.shape[0] < 2e9):
+                    ev_stk, ev_str = select_evaluators("pallas")
+                else:
+                    ev_stk = partial(ew_stk.apply_with, ewald_state)
+                    ev_str = partial(ew_str.apply_with, ewald_state)
             else:
                 ev_stk, ev_str = ev_stk0, ev_str0
             u = jnp.zeros_like(r_trg)

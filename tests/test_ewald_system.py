@@ -16,7 +16,10 @@ from skellysim_tpu.config import Config, Fiber, Params, perturbed_fiber_position
 from skellysim_tpu.system.system import System
 
 
-def _build(pair_evaluator):
+def _build(pair_evaluator, hybrid=False):
+    # hybrid=False by default: these systems are tiny, so the production
+    # cost-model (params.ewald_hybrid) would route every coupling to the
+    # dense kernels and the spectral path would never be exercised
     rng = np.random.default_rng(5)
     fibers = []
     for i in range(6):
@@ -27,7 +30,8 @@ def _build(pair_evaluator):
                             radius=0.0125, x=x.ravel().tolist()))
     cfg = Config(params=Params(eta=1.0, dt_initial=5e-3, gmres_tol=1e-10,
                                pair_evaluator=pair_evaluator,
-                               ewald_points_per_a=3.0),
+                               ewald_points_per_a=3.0,
+                               ewald_hybrid=hybrid),
                  fibers=fibers)
     return System(cfg.to_dict())
 
@@ -68,3 +72,20 @@ def test_ewald_overflow_triggers_regrow_not_silence():
     x_e = np.concatenate([np.asarray(b.x).ravel()
                           for b in s.fibers.blocks])
     assert np.abs(x_d - x_e).max() < 1e-6
+
+
+def test_ewald_hybrid_routes_small_couplings_dense():
+    """With the production cost model on, a tiny system's couplings all fall
+    below the cutoff — the step must route them through the dense kernels
+    (no plans, no overflow counting) and still match "direct" exactly."""
+    s_direct = _build("direct")
+    s_hybrid = _build("ewald", hybrid=True)
+    s_direct.step()
+    r = s_hybrid.step()
+    assert bool(r[1])
+    x_d = np.concatenate([np.asarray(b.x).ravel()
+                          for b in s_direct.fibers.blocks])
+    x_h = np.concatenate([np.asarray(b.x).ravel()
+                          for b in s_hybrid.fibers.blocks])
+    # dense tier in f64 == the direct evaluator bit-for-bit
+    assert np.abs(x_d - x_h).max() == 0.0
