@@ -101,3 +101,43 @@ class Listener:
             self.proc.wait(timeout=10)
         except Exception:
             self.proc.kill()
+
+
+def save_velocity_field(listener: "Listener", x_grid: np.ndarray,
+                        path: str = "skelly_sim.vf",
+                        frames: Optional[List[int]] = None,
+                        evaluator: str = "direct") -> int:
+    """Query the listener's velocity field over frames and dump msgpack
+    records {time, x_grid, v_grid} (eigen-encoded (N, 3)) to ``path`` —
+    the file the ParaView field_reader programmable source renders.
+
+    Returns the number of frames written.
+    """
+    x_grid = np.asarray(x_grid, float).reshape(-1, 3)
+    n = 0
+    with open(path, "wb") as f:
+        frame_iter = frames if frames is not None else _count_up()
+        for i in frame_iter:
+            res = listener.request(Request(
+                frame_no=i, evaluator=evaluator,
+                velocity_field=VelocityFieldRequest(x=x_grid)))
+            if res is None:
+                break
+            rec = {
+                "time": res["time"],
+                "x_grid": tio.encode_eigen_matrix(x_grid),
+                "v_grid": tio.encode_eigen_matrix(
+                    np.asarray(res["velocity_field"], float).reshape(-1, 3)),
+            }
+            f.write(msgpack.packb(rec))
+            n += 1
+            if frames is None and i + 1 >= res.get("n_frames", i + 1):
+                break
+    return n
+
+
+def _count_up():
+    i = 0
+    while True:
+        yield i
+        i += 1

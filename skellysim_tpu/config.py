@@ -79,6 +79,7 @@ class Params:
     ewald_box: Optional[list] = None             # [[lo3],[hi3]] fixed box (None → auto)
     ewald_cap: int = 192                         # near-field cell capacity
     ewald_hybrid: bool = True                    # route small-pair-count couplings to the dense kernels
+    ewald_cut_in_a: Optional[float] = None       # near-field cutoff in units of a (None -> tol-aware 3.0/3.5)
 
 
 @dataclass

@@ -628,6 +628,38 @@ def _pad1(g, shape):
                        (0, shape[2] - g.shape[2])))
 
 
+def _rfftn_staged(g, shape, logical):
+    """rfftn of a (..., L0, L1, L2) block zero-padded to `shape`, staged per
+    axis so each 1-D FFT pass only transforms rows that are not identically
+    zero: pad z → rfft z over L0·L1 rows (P0·P1 in the naive order — ~4×
+    more), pad y → fft y over L0 planes, pad x → fft x full. Hockney padding
+    makes the input ≥75% zeros; staging skips most of that work exactly.
+    Leading batch axes pass through."""
+    L0, L1, L2 = logical
+    P0, P1, P2 = shape
+    nb = g.ndim - 3
+    bpad = ((0, 0),) * nb
+    zh = jnp.fft.rfft(jnp.pad(g, bpad + ((0, 0), (0, 0), (0, P2 - L2))),
+                      axis=nb + 2)
+    yh = jnp.fft.fft(jnp.pad(zh, bpad + ((0, 0), (0, P1 - L1), (0, 0))),
+                     axis=nb + 1)
+    return jnp.fft.fft(jnp.pad(yh, bpad + ((0, P0 - L0), (0, 0), (0, 0))),
+                       axis=nb)
+
+
+def _irfftn_staged(uh, shape, logical):
+    """Inverse of ``_rfftn_staged``: only the (L0, L1, L2) corner of the
+    padded-grid inverse transform is wanted, so slice after each axis pass
+    instead of transforming the full padded grid and slicing at the end.
+    Leading batch axes pass through."""
+    L0, L1, L2 = logical
+    P0, P1, P2 = shape
+    nb = uh.ndim - 3
+    u = jnp.fft.ifft(uh, axis=nb)[..., :L0, :, :]
+    u = jnp.fft.ifft(u, axis=nb + 1)[..., :L1, :]
+    return jnp.fft.irfft(u, n=P2, axis=nb + 2)[..., :L2]
+
+
 @partial(jax.jit, static_argnames=("shape", "logical"))
 def _far_convolve_logical(g_log, khat_ri, shape, logical):
     """Stokeslet k-space convolve, channel-at-a-time.
@@ -637,20 +669,32 @@ def _far_convolve_logical(g_log, khat_ri, shape, logical):
     (3, padded) batch), and each velocity channel is sliced back to the
     occupied extent right after its inverse transform. Batch-FFT peak
     memory was the step-killer at oocyte scale (3× 2.5 GB stage buffers).
+    All transforms are staged per axis (``_rfftn_staged``) to skip the
+    Hockney zero padding's dead rows; below ~2e7 padded cells the three
+    channels batch into single FFT calls (the stage buffers stay < 0.5 GB),
+    above that the channel loop bounds peak memory.
     """
     L0, L1, L2 = logical
-    fh = [jnp.fft.rfftn(_pad1(g_log[c], shape)) for c in range(3)]
+    batch = int(np.prod(shape)) <= 20_000_000
+    if batch:
+        fh3 = _rfftn_staged(g_log, shape, logical)
+        fh = [fh3[c] for c in range(3)]
+    else:
+        fh = [_rfftn_staged(g_log[c], shape, logical) for c in range(3)]
 
     def K(i):
         return jax.lax.complex(khat_ri[0, i], khat_ri[1, i])
 
     rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
-    out = []
+    uhs = []
     for i in range(3):
-        uh = K(rows[i][0]) * fh[0] + K(rows[i][1]) * fh[1] + K(rows[i][2]) * fh[2]
-        ui = jnp.fft.irfftn(uh, s=shape)[:L0, :L1, :L2]
-        out.append(ui.astype(g_log.dtype))
-    return jnp.stack(out)
+        uhs.append(K(rows[i][0]) * fh[0] + K(rows[i][1]) * fh[1]
+                   + K(rows[i][2]) * fh[2])
+    if batch:
+        return _irfftn_staged(jnp.stack(uhs), shape, logical).astype(
+            g_log.dtype)
+    return jnp.stack([_irfftn_staged(uh, shape, logical).astype(g_log.dtype)
+                      for uh in uhs])
 
 
 @partial(jax.jit, static_argnames=("shape", "logical", "h"))
@@ -672,7 +716,7 @@ def _far_stresslet_convolve_logical(D_log, khat_ri, phihat_ri, shape,
     M = [0.0, 0.0, 0.0]
     trD = 0.0
     for c, (i, j) in enumerate(comp):
-        Dh = jnp.fft.rfftn(_pad1(D_log[c], shape))
+        Dh = _rfftn_staged(D_log[c], shape, logical)
         M[i] = M[i] + kvec[j] * Dh
         if i != j:
             M[j] = M[j] + kvec[i] * Dh
@@ -688,7 +732,7 @@ def _far_stresslet_convolve_logical(D_log, khat_ri, phihat_ri, shape,
     for i in range(3):
         uh = 2.0 * (K(rows[i][0]) * M[0] + K(rows[i][1]) * M[1]
                     + K(rows[i][2]) * M[2]) + kvec[i] * phihat * trD
-        ui = jnp.fft.irfftn(1j * uh, s=shape)[:L0, :L1, :L2]
+        ui = _irfftn_staged(1j * uh, shape, logical)
         out.append(ui.astype(rdt))
     return jnp.stack(out)
 

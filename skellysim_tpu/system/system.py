@@ -124,6 +124,7 @@ class Params:
         self.ewald_cap = g("ewald_cap", 192)
         self.ewald_tol_override = g("ewald_tol_override", False)
         self.ewald_hybrid = g("ewald_hybrid", True)
+        self.ewald_cut_in_a = g("ewald_cut_in_a", None)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
@@ -253,7 +254,15 @@ class System:
         if a is None:
             vol = float(np.prod(hi - lo))
             a = max((vol / max(len(allp), 1)) ** (1.0 / 3.0), 1e-3)
-        kw = dict(lo=lo, hi=hi, a=float(a),
+        # tol-aware near-field truncation: erfc(3.0) ≈ 2.2e-5 relative tail —
+        # below the f32 evaluator floor and the >= 1e-4 solve tolerances this
+        # tier targets; tighter tolerances keep the 3.5a (~5e-6) default.
+        # Candidate pair count scales ~ (r_cut + cluster_extent)³, so this is
+        # a direct near-field time knob (params.ewald_cut_in_a overrides).
+        cut = self.params.ewald_cut_in_a
+        if cut is None:
+            cut = 3.0 if self.params.gmres_tol >= 1e-4 else 3.5
+        kw = dict(lo=lo, hi=hi, a=float(a), cut_in_a=float(cut),
                   points_per_a=self.params.ewald_points_per_a,
                   support=self.params.ewald_support,
                   cap=self.params.ewald_cap, dtype=self.dtype)
