@@ -113,8 +113,11 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
         else:
             row["dense_s"] = None
         a_split = 1.5 * L / n ** (1.0 / 3.0)
+        # cut_in_a=3.0 matches the System's tol-aware production default for
+        # gmres_tol >= 1e-4 (the regime this f32 tier serves)
         ew = EwaldStokeslet(lo=[0, 0, 0], hi=[L] * 3, a=a_split,
-                            points_per_a=2.5, dtype=jnp.float32)
+                            points_per_a=2.5, cut_in_a=3.0,
+                            dtype=jnp.float32)
         # size capacities from actual occupancy (what System does)
         gl = np.asarray(ew.grid.lo)
         pts = np.asarray(r)

@@ -100,3 +100,42 @@ def test_velocity_field_matches_direct_call(sim_dir):
     # the point source dominates far from the fiber; direction sanity near it
     u_near_ps = system.velocity_at_targets(np.array([[0.0, 1.9, 0.0]]))
     assert u_near_ps[0, 2] > 0  # pushed along +z by the point force
+
+
+def test_listener_evaluator_hot_swap_rebuilds_ewald(sim_dir):
+    """Swapping the evaluator to "ewald" through the listener protocol must
+    rebuild the Ewald evaluators for the LOADED frame's geometry (stale
+    cached capacities would silently drop interactions) and produce the same
+    velocity field the direct evaluator reports, to the evaluator's
+    accuracy class (round-1 verdict Weak #8)."""
+    from skellysim_tpu.analysis import listener as lst
+    import io
+    import msgpack
+    import struct
+
+    system, cfg = _run_small_sim()
+    pts = np.array([[0.5, 0.5, 0.5], [0.2, -0.4, 0.6]])
+    u_direct = np.asarray(system.velocity_at_targets(pts))
+
+    from skellysim_tpu.io.trajectory import encode_eigen_matrix
+
+    def wire(evaluator):
+        cmd = {"frame_no": 1, "evaluator": evaluator,
+               "velocity_field": {"x": encode_eigen_matrix(pts)}}
+        payload = msgpack.packb(cmd)
+        return struct.pack("<Q", len(payload)) + payload
+
+    # hybrid off so the tiny system actually exercises the spectral applies
+    system.params.ewald_hybrid = False
+    stdin = io.BytesIO(wire("ewald") + struct.pack("<Q", 0))
+    stdout = io.BytesIO()
+    lst.serve(system, stdin=stdin, stdout=stdout)
+
+    assert system._ewald_pair is not None  # rebuilt, not stale
+    stdout.seek(0)
+    (size,) = struct.unpack("<Q", stdout.read(8))
+    res = msgpack.unpackb(stdout.read(size), raw=False)
+    from skellysim_tpu.io.trajectory import decode_payload
+    u_ewald = np.asarray(decode_payload(res["velocity_field"]))
+    assert np.abs(u_ewald - u_direct).max() < 1e-4 * max(
+        1.0, np.abs(u_direct).max())
