@@ -260,11 +260,17 @@ class System:
         # Candidate pair count scales ~ (r_cut + cluster_extent)³, so this is
         # a direct near-field time knob (params.ewald_cut_in_a overrides).
         cut = self.params.ewald_cut_in_a
+        support = self.params.ewald_support
         if cut is None:
             cut = 3.0 if self.params.gmres_tol >= 1e-4 else 3.5
+        if support is None and self.params.gmres_tol >= 1e-4:
+            # measured floors (f32, points_per_a 2.5): support 9 → 1.7e-6,
+            # 7 → 2.0e-5, 5 → 3.4e-4; the 1e-4 regime affords 7 (spread and
+            # interp cost scale with the window width)
+            support = 7
         kw = dict(lo=lo, hi=hi, a=float(a), cut_in_a=float(cut),
                   points_per_a=self.params.ewald_points_per_a,
-                  support=self.params.ewald_support,
+                  support=support,
                   cap=self.params.ewald_cap, dtype=self.dtype)
         stk = EwaldStokeslet(**kw)
         st = EwaldStresslet(grid=stk.grid, **kw)
