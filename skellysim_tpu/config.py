@@ -70,6 +70,9 @@ class Params:
     )
     periphery_interaction_flag: bool = False
     adaptive_timestep_flag: bool = True
+    beta_up: float = 1.2             # dt growth factor (C++-side default, params.cpp:8)
+    beta_down: float = 0.5           # dt shrink factor on rejection
+    compat_timestep_clock: bool = False  # reproduce the reference's clock accounting (see System.run)
     pair_evaluator: str = "direct"   # "direct" (XLA), "pallas" (TPU tiled), "ewald" (spectral far field); "CPU"/"GPU"/"FMM" accepted as aliases
     precision: str = "double"        # "double" (tight tolerances) | "single" (TPU production)
     fiber_type: str = "FiniteDifference"

@@ -125,6 +125,7 @@ class Params:
         self.ewald_tol_override = g("ewald_tol_override", False)
         self.ewald_hybrid = g("ewald_hybrid", True)
         self.ewald_cut_in_a = g("ewald_cut_in_a", None)
+        self.compat_timestep_clock = g("compat_timestep_clock", False)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
@@ -1105,6 +1106,10 @@ class System:
         physics by up to beta_up per step. Here time advances by the dt that
         actually produced the accepted state; dt_new only applies to the next
         step. The two agree whenever dt is at dt_max (all reference tests).
+        Set ``params.compat_timestep_clock = true`` to reproduce the
+        reference's accounting exactly (frame times then match its
+        trajectories bit-for-bit during dt growth, at the cost of the clock
+        running ahead of the physics).
         """
         p = self.params
         self._open_writer()
@@ -1133,8 +1138,9 @@ class System:
                     raise RuntimeError("Timestep smaller than dt_min")
                 self.dt = dt_new
             if not p.adaptive_timestep_flag or accept:
-                self.time += dt_used
-                if int(self.time / p.dt_write) > int((self.time - dt_used) / p.dt_write):
+                dt_clock = self.dt if p.compat_timestep_clock else dt_used
+                self.time += dt_clock
+                if int(self.time / p.dt_write) > int((self.time - dt_clock) / p.dt_write):
                     self.write_frame()
             else:
                 self.fibers.blocks = backup[0]

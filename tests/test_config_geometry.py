@@ -72,3 +72,53 @@ def test_perturbed_fiber_positions_arclength():
     assert seg.std() / seg.mean() < 0.02
     # perturbation is orthogonal to the axis and cosine-shaped (zero at ends)
     assert abs(x[0][2]) < 1e-12 and abs(np.linalg.norm(x[-1][:2])) < 1e-9
+
+
+def test_compat_timestep_clock(tmp_path, monkeypatch):
+    """compat_timestep_clock reproduces the reference's time accounting
+    (time advances by the NEW dt during growth, system.cpp:554-560);
+    default mode advances by the dt that produced the state."""
+    import numpy as np
+
+    from skellysim_tpu.config import Config, Fiber
+    from skellysim_tpu.io import tomlio
+    from skellysim_tpu.system import System
+
+    monkeypatch.chdir(tmp_path)
+
+    def run(compat):
+        config = Config()
+        config.params.eta = 1.0
+        config.params.dt_initial = 1e-4
+        config.params.dt_min = 1e-5
+        config.params.dt_max = 1e-3
+        config.params.beta_up = 1.5
+        config.params.dt_write = 1.0   # no frames during the loop
+        config.params.t_final = 4.5e-4
+        config.params.gmres_tol = 1e-10
+        config.params.adaptive_timestep_flag = True
+        config.params.fiber_error_tol = 10.0   # always accept + grow
+        config.params.pair_evaluator = "direct"
+        fib = Fiber(force_scale=0.1, length=0.75, n_nodes=8,
+                    bending_rigidity=0.0025)
+        fib.fill_node_positions(np.array([0.0, 0.0, 0.0]),
+                                np.array([0.0, 0.0, 1.0]))
+        config.fibers = [fib]
+        config.save("skelly_config.toml")
+        cfg = tomlio.load("skelly_config.toml")
+        cfg["params"]["compat_timestep_clock"] = compat
+        s = System(cfg)
+        s.run()
+        import os
+        for f in ("skelly_sim.out", "skelly_sim.out.cindex"):
+            if os.path.exists(f):
+                os.remove(f)
+        return s.time
+
+    # growth 1e-4 -> 1.5e-4 -> 2.25e-4 ...; physics clock: 1e-4+1.5e-4+2.25e-4
+    # = 4.75e-4 > t_final after 3 steps. compat clock: 1.5e-4+2.25e-4+3.375e-4
+    t_default = run(False)
+    t_compat = run(True)
+    assert abs(t_default - (1e-4 + 1.5e-4 + 2.25e-4)) < 1e-12
+    assert abs(t_compat - (1.5e-4 + 2.25e-4)) < 1e-12 or \
+        abs(t_compat - (1.5e-4 + 2.25e-4 + 3.375e-4)) < 1e-12
