@@ -56,7 +56,15 @@ _INV_4PI32 = 1.0 / (4.0 * math.pi**1.5)
 _SENTINEL = 1e8   # empty-slot coordinate: ρ ≫ 1 so every screened
                   # coefficient underflows to exactly 0 in f32
 
-C = 128           # cluster size: one VPU lane row
+CS = 128          # SOURCE cluster size: one VPU lane row
+# TARGET cluster size: smaller target clusters have tighter bounding boxes,
+# so the conservative bbox candidate test admits fewer pairs — measured at
+# oocyte-scale density (cut 3.0a): CT=128 → 1.02e9 candidate point-pairs,
+# CT=32 → 0.73e9, CT=16 → 0.66e9. CT=32 keeps the kernel's compute block at
+# (32, 128) = 4 native f32 tiles (full sublane/lane utilization) while the
+# pairlist stays ~3× the CT=128 length (SMEM prefetch budget is ample).
+CT = 32
+C = CS            # back-compat alias
 
 # A&S 7.1.26 erfc coefficients (used with the Gaussian already in hand)
 _AS_P = 0.3275911
@@ -115,20 +123,20 @@ def _morton_key(points, lo, cell):
             | spread(ci[:, 2]))
 
 
-def _clusterize(points, lo, cell):
-    """Morton-sort and group into clusters of C consecutive points.
+def _clusterize(points, lo, cell, Ccl):
+    """Morton-sort and group into clusters of ``Ccl`` consecutive points.
 
-    Returns (order, stores (n_cl, 3, C), bbox_lo, bbox_hi (n_cl, 3)). Only
+    Returns (order, stores (n_cl, 3, Ccl), bbox_lo, bbox_hi (n_cl, 3)). Only
     the final cluster carries sentinel padding."""
     n = points.shape[0]
-    n_cl = -(-n // C)
+    n_cl = -(-n // Ccl)
     order = jnp.argsort(_morton_key(points, lo, cell))
     dtype = points.dtype
-    pad = n_cl * C - n
+    pad = n_cl * Ccl - n
     r_sorted = jnp.concatenate(
         [points[order], jnp.full((pad, 3), _SENTINEL, dtype)], axis=0)
-    rc = r_sorted.reshape(n_cl, C, 3)
-    valid = (jnp.arange(n_cl * C) < n).reshape(n_cl, C)
+    rc = r_sorted.reshape(n_cl, Ccl, 3)
+    valid = (jnp.arange(n_cl * Ccl) < n).reshape(n_cl, Ccl)
     big = jnp.asarray(_SENTINEL, dtype)
     bbox_lo = jnp.min(jnp.where(valid[..., None], rc, big), axis=1)
     bbox_hi = jnp.max(jnp.where(valid[..., None], rc, -big), axis=1)
@@ -151,8 +159,10 @@ def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
     """
     dtype = r_trg.dtype
     cell = r_cut / 4.0
-    s_order, src_rc, s_lo, s_hi = _clusterize(r_src.astype(dtype), lo, cell)
-    t_order, trg_rc, t_lo, t_hi = _clusterize(r_trg.astype(dtype), lo, cell)
+    s_order, src_rc, s_lo, s_hi = _clusterize(r_src.astype(dtype), lo, cell,
+                                              CS)
+    t_order, trg_rc, t_lo, t_hi = _clusterize(r_trg.astype(dtype), lo, cell,
+                                              CT)
     n_sc = src_rc.shape[0]
     n_tc = trg_rc.shape[0]
 
@@ -189,9 +199,9 @@ def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
     first_ch = (rows_ch != prev).astype(jnp.int32)
 
     src_r = jnp.concatenate(
-        [src_rc, jnp.full((1, 3, C), _SENTINEL, dtype)], axis=0)
+        [src_rc, jnp.full((1, 3, CS), _SENTINEL, dtype)], axis=0)
     trg_r = jnp.concatenate(
-        [trg_rc, jnp.full((1, 3, C), _SENTINEL, dtype)], axis=0)
+        [trg_rc, jnp.full((1, 3, CT), _SENTINEL, dtype)], axis=0)
     trg_inv = jnp.argsort(t_order)        # point p lives at flat slot inv[p]
     return ClusterPlan(src_r=src_r, src_order=s_order, trg_r=trg_r,
                        rows=rows_ch, srcs=srcs_ch, first=first_ch,
@@ -199,20 +209,21 @@ def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
 
 
 def bin_payload(plan: ClusterPlan, payload: jax.Array) -> jax.Array:
-    """(N_s, K) per-source payload → (n_sc+1, K, C) cluster stores (zeros in
+    """(N_s, K) per-source payload → (n_sc+1, K, CS) cluster stores (zeros in
     the padding slots and the sentinel cluster)."""
     n = payload.shape[0]
     K = payload.shape[1]
     n_sc = plan.src_r.shape[0] - 1
-    pad = n_sc * C - n
+    Cs = plan.src_r.shape[2]
+    pad = n_sc * Cs - n
     p = jnp.concatenate([payload[plan.src_order],
                          jnp.zeros((pad, K), payload.dtype)], axis=0)
-    p = p.reshape(n_sc, C, K).transpose(0, 2, 1)
-    return jnp.concatenate([p, jnp.zeros((1, K, C), payload.dtype)], axis=0)
+    p = p.reshape(n_sc, Cs, K).transpose(0, 2, 1)
+    return jnp.concatenate([p, jnp.zeros((1, K, Cs), payload.dtype)], axis=0)
 
 
 def unbin_targets(plan: ClusterPlan, u_cl: jax.Array) -> jax.Array:
-    """(n_tc, 3, C) per-cluster results → (N_t, 3) in point order (exact
+    """(n_tc, 3, CT) per-cluster results → (N_t, 3) in point order (exact
     inverse permutation — the target side loses nothing)."""
     flat = u_cl.transpose(0, 2, 1).reshape(-1, 3)
     return flat[plan.trg_inv]
@@ -342,29 +353,31 @@ def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
     n_chunks, chunk = rows.shape
     flops = {"stokeslet": 30, "stresslet": 60}[kind]
     K = src_f.shape[1]
+    Cs = src_r.shape[2]
+    Ct = trg_r.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(chunk,),
         in_specs=[
-            pl.BlockSpec((1, 3, C), lambda p, rw, sc, fr: (sc[p], 0, 0),
+            pl.BlockSpec((1, 3, Cs), lambda p, rw, sc, fr: (sc[p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, C), lambda p, rw, sc, fr: (sc[p], 0, 0),
+            pl.BlockSpec((1, K, Cs), lambda p, rw, sc, fr: (sc[p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, C), lambda p, rw, sc, fr: (rw[p], 0, 0),
+            pl.BlockSpec((1, 3, Ct), lambda p, rw, sc, fr: (rw[p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, C), lambda p, rw, sc, fr: (rw[p], 0, 0),
+        out_specs=pl.BlockSpec((1, 3, Ct), lambda p, rw, sc, fr: (rw[p], 0, 0),
                                memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
         _near_kernel(kind, a),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tc1, 3, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tc1, 3, Ct), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops * chunk * C * C,
-            bytes_accessed=4 * chunk * (3 + K) * C,
-            transcendentals=2 * chunk * C * C,
+            flops=flops * chunk * Ct * Cs,
+            bytes_accessed=4 * chunk * (3 + K) * Cs,
+            transcendentals=2 * chunk * Ct * Cs,
         ),
         interpret=interpret,
     )
@@ -382,7 +395,7 @@ def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
         m = (row_ids >= lo_r) & (row_ids <= hi_r)
         return acc + jnp.where(m[:, None, None], out, 0.0)
 
-    acc0 = jnp.zeros((n_tc1, 3, C), jnp.float32)
+    acc0 = jnp.zeros((n_tc1, 3, Ct), jnp.float32)
     out = jax.lax.fori_loop(0, n_chunks, one_chunk, acc0)
     return out[:n_tc]
 

@@ -64,10 +64,11 @@ def select_evaluators(pair_evaluator: str):
 
 def _pairlist_total(pts: np.ndarray, lo, r_cut: float) -> int:
     """Total candidate cluster pairs of the COO pairlist (host replica of
-    ewald_near_cluster.make_plan's bbox test, including the one synthetic
-    sentinel pair per target row), used to size pair_total from the
-    initial geometry."""
-    Ccl = 128
+    ewald_near_cluster.make_plan's bbox test — CT-point target clusters vs
+    CS-point source clusters — including the one synthetic sentinel pair per
+    target row), used to size pair_total from the initial geometry."""
+    from skellysim_tpu.kernels.ewald_near_cluster import CS, CT
+
     ci = np.clip(((pts - np.asarray(lo)[None, :]) / (r_cut / 4.0)).astype(np.int64),
                  0, 1023)
 
@@ -81,16 +82,20 @@ def _pairlist_total(pts: np.ndarray, lo, r_cut: float) -> int:
     key = (spread(ci[:, 0]) << 2) | (spread(ci[:, 1]) << 1) | spread(ci[:, 2])
     ps = pts[np.argsort(key, kind="stable")]
     n = ps.shape[0]
-    n_cl = -(-n // Ccl)
-    pad = n_cl * Ccl - n
-    ps = np.concatenate([ps, np.full((pad, 3), np.nan)], axis=0)
-    rc = ps.reshape(n_cl, Ccl, 3)
-    lo_b = np.nanmin(rc, axis=1)
-    hi_b = np.nanmax(rc, axis=1)
-    gap = np.maximum(0.0, np.maximum(lo_b[None, :, :] - hi_b[:, None, :],
-                                     lo_b[:, None, :] - hi_b[None, :, :]))
+
+    def bboxes(Ccl):
+        n_cl = -(-n // Ccl)
+        pad = n_cl * Ccl - n
+        q = np.concatenate([ps, np.full((pad, 3), np.nan)], axis=0)
+        rc = q.reshape(n_cl, Ccl, 3)
+        return np.nanmin(rc, axis=1), np.nanmax(rc, axis=1), n_cl
+
+    s_lo, s_hi, _ = bboxes(CS)
+    t_lo, t_hi, n_tc = bboxes(CT)
+    gap = np.maximum(0.0, np.maximum(s_lo[None, :, :] - t_hi[:, None, :],
+                                     t_lo[:, None, :] - s_hi[None, :, :]))
     cand = np.sum(gap * gap, axis=-1) <= r_cut * r_cut
-    return int(cand.sum()) + n_cl
+    return int(cand.sum()) + n_tc
 
 
 class Params:

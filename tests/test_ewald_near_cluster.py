@@ -128,9 +128,12 @@ def test_overflow_is_counted_not_silent():
     pts = jnp.asarray(RNG.uniform(0.0, 0.5, (600, 3)))
     lo = jnp.asarray([-2 * r_cut] * 3)
     plan1 = enc.make_plan(pts, pts, lo, r_cut, 8)
-    # 5×5 all-pairs candidates + 5 sentinels = 30 pairs, capacity 8
+    # all-pairs candidates: ⌈600/CT⌉ rows × ⌈600/CS⌉ cols + row sentinels
+    n_tc = -(-600 // enc.CT)
+    n_sc = -(-600 // enc.CS)
+    full = n_tc * n_sc + n_tc
     assert int(plan1.dropped) > 0
-    plan_ok = enc.make_plan(pts, pts, lo, r_cut, 64)
+    plan_ok = enc.make_plan(pts, pts, lo, r_cut, full)
     assert int(plan_ok.dropped) == 0
     # the under-capacity plan also computes the WRONG answer — proving the
     # count is load-bearing
