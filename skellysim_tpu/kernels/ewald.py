@@ -492,8 +492,20 @@ def _slab_entry_bound(N: int, Gx: int, CP: int) -> int:
     return -(-N // CP) + Gx
 
 
+def make_slab_bins(points, lo, h, Gx, support, cap, n_points=None):
+    """Positions-only slab binning, reusable across every apply of a step
+    (the argsort/searchsorted machinery in _slab_bins costs tens of ms at
+    1e5 points on TPU — rebuilt each GMRES iteration it was a measurable
+    slice of the matvec)."""
+    n = n_points if n_points is not None else points.shape[0]
+    CP = _slab_CP(cap)
+    E = _slab_entry_bound(n, Gx, CP)
+    return _slab_bins(points, h, lo, Gx, cap, CP, E, points.dtype, support)
+
+
 @partial(jax.jit, static_argnames=("logical", "support", "cap"))
-def _spread_slab(points, values, lo, h, logical, support, cap=None):
+def _spread_slab(points, values, lo, h, logical, support, cap=None,
+                 bins=None):
     """Slab-matmul spreading — the MXU formulation of NUFFT type-1.
 
     Points bin by their nearest x-plane ("slab"); the non-empty CP-wide
@@ -521,7 +533,8 @@ def _spread_slab(points, values, lo, h, logical, support, cap=None):
     CP = _slab_CP(cap)
     E = _slab_entry_bound(N, Gx, CP)
     (rel_y, rel_z, fx_b, ent_slab, Z, valid, order, starts, key, idx_c,
-     _cum) = _slab_bins(points, h, lo, Gx, cap, CP, E, dtype, support)
+     _cum) = (bins if bins is not None
+              else _slab_bins(points, h, lo, Gx, cap, CP, E, dtype, support))
     val_b = jnp.where(valid[..., None],
                       (values / Z[:, None])[order][idx_c], 0.0)  # (E,CP,C)
 
@@ -555,7 +568,7 @@ def _spread_slab(points, values, lo, h, logical, support, cap=None):
 
 
 @partial(jax.jit, static_argnames=("support", "cap"))
-def _interp_slab(grids, points, lo, h, support, cap=None):
+def _interp_slab(grids, points, lo, h, support, cap=None, bins=None):
     """Slab-matmul interpolation (NUFFT type-2) — transpose of
     ``_spread_slab``: per ragged entry, read grid rows [slab, slab+Wn)
     (one dynamic slice) and contract against the dense y/z windows as
@@ -572,7 +585,9 @@ def _interp_slab(grids, points, lo, h, support, cap=None):
     CP = _slab_CP(cap)
     E = _slab_entry_bound(N, Gx, CP)
     (rel_y, rel_z, fx_b, ent_slab, Z, valid, order, starts, key, idx_c,
-     cum_chunks) = _slab_bins(points, h, lo, Gx, cap, CP, E, dtype, support)
+     cum_chunks) = (bins if bins is not None
+                    else _slab_bins(points, h, lo, Gx, cap, CP, E, dtype,
+                                    support))
 
     gy = jnp.arange(Gy, dtype=dtype)
     gz = jnp.arange(Gz, dtype=dtype)
@@ -756,14 +771,15 @@ def _use_slab() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg, slab_cap=None):
+def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg, slab_cap=None,
+                    bins_src=None, bins_trg=None):
     if _use_slab():
         L = tuple(grid.logical)
         glog = _spread_slab(r_src, f_src, grid.lo, grid.h, L, grid.support,
-                            cap=slab_cap)
+                            cap=slab_cap, bins=bins_src)
         u_log = _far_convolve_logical(glog, grid.khat, grid.shape, L)
         return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support,
-                            cap=slab_cap)
+                            cap=slab_cap, bins=bins_trg)
     grids = _spread_scatter(r_src, f_src, grid.lo, grid.h, grid.sigma,
                             grid.shape, grid.support)
     u_grids = _far_convolve(grids, grid.khat)
@@ -850,7 +866,8 @@ def far_field_apply_sharded(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
     return u[:Nt]
 
 
-def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg, slab_cap=None):
+def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg, slab_cap=None,
+                        bins_src=None, bins_trg=None):
     """Grid far field of the stresslet with densities S (N,3,3); only the
     symmetric part couples (T is symmetric in its density indices)."""
     D = jnp.stack([S[:, 0, 0],
@@ -862,12 +879,12 @@ def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg, slab_cap=None):
     if _use_slab():
         L = tuple(grid.logical)
         D_log = _spread_slab(r_src, D, grid.lo, grid.h, L, grid.support,
-                             cap=slab_cap)
+                             cap=slab_cap, bins=bins_src)
         u_log = _far_stresslet_convolve_logical(D_log, grid.khat,
                                                 grid.phihat, grid.shape,
                                                 L, grid.h)
         return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support,
-                            cap=slab_cap)
+                            cap=slab_cap, bins=bins_trg)
     D_grids = _spread_scatter(r_src, D, grid.lo, grid.h, grid.sigma,
                               grid.shape, grid.support)
     u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,
@@ -1026,7 +1043,25 @@ class EwaldStokeslet:
                          jnp.asarray(self.lo, dt), self.r_cut,
                          self.pair_total)
 
-    def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0, plan=None):
+    def make_far_plan(self, r_src, r_trg):
+        """Positions-only slab binnings (sources for spread, targets for
+        interp), reusable across every apply of a timestep — the binning's
+        argsort/searchsorted is tens of ms at 1e5 points on TPU and was
+        being rebuilt inside every GMRES matvec. None on the non-slab (CPU)
+        and sharded paths, which bin internally."""
+        if not _use_slab() or self.mesh is not None:
+            return None
+        g = self.grid
+        dt = self.dtype
+        Gx = int(g.logical[0])
+        cap = self.slab_cap or _slab_cap(r_src.shape[0], Gx)
+        return (make_slab_bins(r_src.astype(dt), g.lo, g.h, Gx, g.support,
+                               cap),
+                make_slab_bins(r_trg.astype(dt), g.lo, g.h, Gx, g.support,
+                               cap))
+
+    def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0, plan=None,
+                   far_plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""
         from skellysim_tpu.kernels.ewald_near_cluster import near_apply_plan
 
@@ -1045,8 +1080,11 @@ class EwaldStokeslet:
             u_near = near_apply_plan_sharded(plan, f_src.astype(dt), self.a,
                                              self.mesh, kind="stokeslet")
         else:
+            bins_src, bins_trg = far_plan if far_plan is not None \
+                else (None, None)
             u_far = far_field_apply(grid, r_src.astype(dt), f_src.astype(dt),
-                                    r_trg.astype(dt), slab_cap=self.slab_cap)
+                                    r_trg.astype(dt), slab_cap=self.slab_cap,
+                                    bins_src=bins_src, bins_trg=bins_trg)
             u_near = near_apply_plan(plan, f_src.astype(dt), self.a,
                                      kind="stokeslet")
         return ((u_far + u_near) / eta).astype(r_trg.dtype)
@@ -1110,7 +1148,10 @@ class EwaldStresslet:
                          jnp.asarray(self.lo, dt), self.r_cut,
                          self.pair_total)
 
-    def apply_with(self, spectra, r_src, S, r_trg, eta=1.0, plan=None):
+    make_far_plan = EwaldStokeslet.make_far_plan
+
+    def apply_with(self, spectra, r_src, S, r_trg, eta=1.0, plan=None,
+                   far_plan=None):
         """``apply`` with the spectra passed explicitly (see ``spectra``)."""
         from skellysim_tpu.kernels.ewald_near_cluster import near_apply_plan
 
@@ -1137,9 +1178,12 @@ class EwaldStresslet:
             u_near = near_apply_plan_sharded(plan, payload, self.a,
                                              self.mesh, kind="stresslet")
         else:
+            bins_src, bins_trg = far_plan if far_plan is not None \
+                else (None, None)
             u_far = far_stresslet_apply(grid, r_src.astype(dt),
                                         S.astype(dt), r_trg.astype(dt),
-                                        slab_cap=self.slab_cap)
+                                        slab_cap=self.slab_cap,
+                                        bins_src=bins_src, bins_trg=bins_trg)
             u_near = near_apply_plan(plan, payload, self.a, kind="stresslet")
         return ((u_far + u_near) / (2.0 * eta)).astype(r_trg.dtype)
 

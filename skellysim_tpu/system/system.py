@@ -478,6 +478,7 @@ class System:
                 # the dense kernels build no plan and count no overflow.
                 if ewald_fib_tier:
                     plan_fib = ew_stk.make_near_plan(r_fib, r_all)
+                    far_fib = ew_stk.make_far_plan(r_fib, r_all)
                     ewald_dropped = ewald_dropped + plan_fib.dropped
                     from skellysim_tpu.kernels.ewald import slab_dropped as _sd
                     g = ew_stk.grid
@@ -489,29 +490,36 @@ class System:
                         assert r_src.shape[0] == r_fib.shape[0], \
                             "stokeslet plan mismatch"
                         return ew_stk.apply_with(ewald_state, r_src, f_src,
-                                                 r_trg, eta_, plan=plan_fib)
+                                                 r_trg, eta_, plan=plan_fib,
+                                                 far_plan=far_fib)
                 else:
                     ev_stk = dense_stk
 
                 if has_shell and ewald_shell_tier:
                     plan_shell = ew_str.make_near_plan(shell_state.nodes,
                                                        r_fibbody)
+                    far_shell = ew_str.make_far_plan(shell_state.nodes,
+                                                     r_fibbody)
                     ewald_dropped = ewald_dropped + plan_shell.dropped
 
                     def ev_str_shell(r_src, S, r_trg, eta_=eta):
                         return ew_str.apply_with(ewald_state, r_src, S,
                                                  r_trg, eta_,
-                                                 plan=plan_shell)
+                                                 plan=plan_shell,
+                                                 far_plan=far_shell)
                 else:
                     ev_str_shell = dense_str
                 if has_bodies and ewald_body_tier:
                     plan_body = ew_str.make_near_plan(
                         bcont.positions(body_caches), r_all)
+                    far_body = ew_str.make_far_plan(
+                        bcont.positions(body_caches), r_all)
                     ewald_dropped = ewald_dropped + plan_body.dropped
 
                     def ev_str_body(r_src, S, r_trg, eta_=eta):
                         return ew_str.apply_with(ewald_state, r_src, S,
-                                                 r_trg, eta_, plan=plan_body)
+                                                 r_trg, eta_, plan=plan_body,
+                                                 far_plan=far_body)
                 else:
                     ev_str_body = dense_str
             else:

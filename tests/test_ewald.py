@@ -150,3 +150,45 @@ def test_logical_convolves_match_batch():
     partS = ewald._far_stresslet_convolve_logical(Dlog, g.khat, g.phihat,
                                                   g.shape, L, g.h)
     assert np.abs(np.asarray(fullS[:, :L[0], :L[1], :L[2]] - partS)).max() < 1e-10
+
+
+def test_far_plan_reuse_matches_internal_binning(monkeypatch):
+    """apply_with(far_plan=make_far_plan(...)) must be bit-identical to the
+    internal per-apply binning (the plan is the same computation hoisted out
+    of the GMRES loop). The slab path is accelerator-default; force it on
+    CPU for the check."""
+    import numpy as np
+
+    from skellysim_tpu.kernels import ewald
+
+    monkeypatch.setattr(ewald, "_use_slab", lambda: True)
+    rng = np.random.default_rng(11)
+    N = 800
+    r = jnp.asarray(rng.uniform(0, 3.0, (N, 3)), jnp.float32)
+    f = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    ew = ewald.EwaldStokeslet(lo=[0, 0, 0], hi=[3, 3, 3], a=0.3,
+                              points_per_a=2.5, dtype=jnp.float32,
+                              pair_total=16384)
+    sp = ew.spectra()
+    plan = ew.make_near_plan(r, r)
+    far = ew.make_far_plan(r, r)
+    assert far is not None
+    # the bins themselves are bit-identical (asserted below); the velocities
+    # may differ at f32 fusion-rounding level because threading bins as
+    # arguments changes XLA's fusion/summation order
+    from skellysim_tpu.kernels.ewald import (_slab_bins, _slab_CP, _slab_cap,
+                                             _slab_entry_bound)
+
+    g = ew.grid
+    Gx = int(g.logical[0])
+    cap = _slab_cap(N, Gx)
+    CP = _slab_CP(cap)
+    E = _slab_entry_bound(N, Gx, CP)
+    internal = _slab_bins(r, g.h, g.lo, Gx, cap, CP, E, r.dtype, g.support)
+    for a_int, a_plan in zip(internal, far[0]):
+        np.testing.assert_array_equal(np.asarray(a_int), np.asarray(a_plan))
+
+    u0 = np.asarray(ew.apply_with(sp, r, f, r, 1.0, plan=plan))
+    u1 = np.asarray(ew.apply_with(sp, r, f, r, 1.0, plan=plan, far_plan=far))
+    scale = np.abs(u0).max()
+    assert np.abs(u0 - u1).max() < 1e-5 * scale
