@@ -546,18 +546,26 @@ def apply_boundary_conditions(
 
 
 def factorize(A: jax.Array):
-    """Batched LU factorization of the BC-applied operators (the preconditioner)."""
-    lu, piv = jax.vmap(lambda a: jax.scipy.linalg.lu_factor(a))(A)
-    return lu, piv
+    """Batched explicit inverses of the BC-applied operators.
+
+    The block-Jacobi preconditioner is APPLIED once per GMRES iteration but
+    built once per step, so the apply must be MXU work: a batched LU solve
+    lowers to triangular solves that serialize over the 4n columns on TPU
+    (hundreds of sequential (B, 4n) steps), while A⁻¹ x is one batched
+    (B, 4n, 4n) @ (B, 4n) matmul. The inverse itself is computed by LU once
+    per step; a right preconditioner only shapes convergence, so its f32
+    rounding costs at most an extra iteration, never accuracy.
+    (Field names A_lu/A_piv are kept for the cache pytree: A_lu now holds
+    A⁻¹ and A_piv is empty.)"""
+    inv = jax.vmap(jnp.linalg.inv)(A)
+    return inv, jnp.zeros((A.shape[0], 0), jnp.int32)
 
 
 def precondition(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:
-    """Batched LU solves: y_b = A_b⁻¹ x_b (the block-Jacobi preconditioner)."""
+    """y_b = A_b⁻¹ x_b via one batched matmul (see ``factorize``)."""
     B = cache.A_lu.shape[0]
     xb = x_all.reshape(B, -1)
-    y = jax.vmap(lambda lu, piv, v: jax.scipy.linalg.lu_solve((lu, piv), v))(
-        cache.A_lu, cache.A_piv, xb
-    )
+    y = jnp.einsum("bij,bj->bi", cache.A_lu, xb)
     return y.reshape(-1)
 
 
