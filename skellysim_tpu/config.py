@@ -60,6 +60,7 @@ class Params:
     dt_write: float = 0.1
     t_final: float = 100.0
     gmres_tol: float = 1e-8
+    gmres_restart: Optional[int] = None  # Krylov restart length (None -> Belos' 300 default)
     fiber_error_tol: float = 1e-1
     seed: int = 130319
     implicit_motor_activation_delay: float = 0.0

@@ -131,6 +131,7 @@ class Params:
         self.ewald_hybrid = g("ewald_hybrid", True)
         self.ewald_cut_in_a = g("ewald_cut_in_a", None)
         self.compat_timestep_clock = g("compat_timestep_clock", False)
+        self.gmres_restart = g("gmres_restart", None)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
@@ -352,7 +353,10 @@ class System:
     def _build_step_fn(self):
         p = self.params
         gmres_tol = p.gmres_tol
-        restart = min(300, max(30, self.total_solution_size()))
+        # 300 = Belos PseudoBlockGmresSolMgr's default restart length ("Num
+        # Blocks"); override to bound the Krylov buffer (restart × n floats)
+        restart = self.params.gmres_restart or min(
+            300, max(30, self.total_solution_size()))
         eta = p.eta
         delay = p.implicit_motor_activation_delay
         has_points = int(np.asarray(self.point_sources.position).shape[0]) > 0
