@@ -89,3 +89,27 @@ def test_ewald_hybrid_routes_small_couplings_dense():
                           for b in s_hybrid.fibers.blocks])
     # dense tier in f64 == the direct evaluator bit-for-bit
     assert np.abs(x_d - x_h).max() == 0.0
+
+
+def test_tol_aware_evaluator_knobs():
+    """At gmres_tol >= 1e-4 the System picks the loose-regime near cutoff
+    (3.0a) and spread support (7); tighter tolerances keep the accurate
+    defaults (3.5a, 9). Explicit params override."""
+    s_loose = _build("ewald")            # gmres_tol raised below
+    s_loose.params.gmres_tol = 1e-4
+    s_loose._ewald_pair = None
+    stk, _ = s_loose._ewald_objects()
+    assert abs(stk.r_cut - 3.0 * stk.a) < 1e-12
+    assert stk.grid.support == 7
+
+    s_tight = _build("ewald")            # default tol 1e-10 from _build
+    stk_t, _ = s_tight._ewald_objects()
+    assert abs(stk_t.r_cut - 3.5 * stk_t.a) < 1e-12
+    assert stk_t.grid.support == 11      # 2*ceil(6σ/h)+1 at points_per_a 3
+    # explicit override wins
+    s_over = _build("ewald")
+    s_over.params.gmres_tol = 1e-4
+    s_over.params.ewald_cut_in_a = 3.5
+    s_over._ewald_pair = None
+    stk_o, _ = s_over._ewald_objects()
+    assert abs(stk_o.r_cut - 3.5 * stk_o.a) < 1e-12
