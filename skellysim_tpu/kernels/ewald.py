@@ -1003,6 +1003,11 @@ class EwaldStokeslet:
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
+        # the box the grid covers: points OUTSIDE it spread/interp with
+        # clamped or vanishing windows — silently wrong physics. Callers
+        # (System) count escapes per step and rebuild on a fresh box.
+        self.box_lo = np.asarray(lo, np.float64)
+        self.box_hi = np.asarray(hi, np.float64)
         # legacy cell-list capacity (the `_near_apply` reference path) and
         # far-field x-slab capacity: both drop overflow points — size from
         # geometry when known (System._ewald_objects); overflow is COUNTED
@@ -1118,6 +1123,11 @@ class EwaldStresslet:
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
+        # the box the grid covers: points OUTSIDE it spread/interp with
+        # clamped or vanishing windows — silently wrong physics. Callers
+        # (System) count escapes per step and rebuild on a fresh box.
+        self.box_lo = np.asarray(lo, np.float64)
+        self.box_hi = np.asarray(hi, np.float64)
         # legacy cell-list capacity (the `_near_apply` reference path) and
         # far-field x-slab capacity — see EwaldStokeslet
         self.cap = int(cap)

@@ -489,6 +489,15 @@ class System:
                     ewald_dropped = ewald_dropped + _sd(
                         r_all.astype(ew_stk.dtype), g.lo, g.h,
                         int(g.logical[0]), ew_stk.slab_cap)
+                    # points escaping the grid box would spread/interp with
+                    # clamped or vanishing windows — silently wrong physics.
+                    # Count them with the other overflow modes; the host
+                    # rebuilds the evaluators on a fresh box.
+                    blo = jnp.asarray(ew_stk.box_lo, r_all.dtype)
+                    bhi = jnp.asarray(ew_stk.box_hi, r_all.dtype)
+                    ewald_dropped = ewald_dropped + jnp.sum(
+                        jnp.any((r_all < blo[None]) | (r_all > bhi[None]),
+                                axis=-1)).astype(jnp.int32)
 
                     def ev_stk(r_src, f_src, r_trg, eta_=eta):
                         assert r_src.shape[0] == r_fib.shape[0], \
@@ -972,18 +981,44 @@ class System:
 
     # ---- host control ----
     def _grow_ewald_caps(self):
-        """Double every spectral-Ewald capacity and rebuild the compiled
-        functions — the overflow-recovery path (same pattern as the
-        dynamic-instability capacity growth). The grid/spectra are reused;
-        only the binning capacities change."""
+        """Overflow recovery (same pattern as the dynamic-instability
+        capacity growth). If the geometry ESCAPED the grid box, rebuild the
+        evaluators on a fresh box sized to the current geometry (new grid +
+        spectra); otherwise double the binning capacities and keep the
+        grid."""
         stk, st = self._ewald_pair
-        for ev in (stk, st):
-            ev.cap = 2 * ev.cap
-            ev.cap_t = 2 * ev.cap_t
-            ev.slab_cap = 2 * ev.slab_cap
-            ev.pair_total = 2 * ev.pair_total
-        logger.warning("ewald capacity overflow: regrown to pair_total=%d "
-                       "slab=%d and recompiling", stk.pair_total, stk.slab_cap)
+        geom = [fs.positions(self.fibers.blocks)]
+        if self.shell is not None:
+            geom.append(self.shell.state.nodes)
+        if self.bodies.n_bodies:
+            caches = bcont.update_caches(self.bodies.states(),
+                                         self.params.eta)
+            geom.append(bcont.positions(caches))
+        pts = np.concatenate([np.asarray(g).reshape(-1, 3) for g in geom
+                              if np.size(g)], axis=0)
+        escaped = bool(np.any(pts < stk.box_lo[None])
+                       or np.any(pts > stk.box_hi[None]))
+        if escaped:
+            if self.params.ewald_box is not None:
+                raise RuntimeError(
+                    "geometry escaped the user-pinned params.ewald_box "
+                    f"[{stk.box_lo}, {stk.box_hi}]; enlarge it or leave it "
+                    "unset for automatic box sizing")
+            logger.warning("geometry escaped the Ewald box %s..%s: "
+                           "rebuilding evaluators on a fresh box",
+                           np.round(stk.box_lo, 3), np.round(stk.box_hi, 3))
+            self._ewald_pair = None
+            stk_new, _ = self._ewald_objects()
+            self._ewald_state = stk_new.spectra()
+        else:
+            for ev in (stk, st):
+                ev.cap = 2 * ev.cap
+                ev.cap_t = 2 * ev.cap_t
+                ev.slab_cap = 2 * ev.slab_cap
+                ev.pair_total = 2 * ev.pair_total
+            logger.warning("ewald capacity overflow: regrown to "
+                           "pair_total=%d slab=%d and recompiling",
+                           stk.pair_total, stk.slab_cap)
         self._step_fn = self._build_step_fn()
         self._velocity_fn = self._build_velocity_fn()
 

@@ -113,3 +113,34 @@ def test_tol_aware_evaluator_knobs():
     s_over._ewald_pair = None
     stk_o, _ = s_over._ewald_objects()
     assert abs(stk_o.r_cut - 3.5 * stk_o.a) < 1e-12
+
+
+def test_box_escape_triggers_rebuild_not_silence():
+    """Geometry drifting outside the Ewald grid box would spread/interp with
+    clamped or vanishing windows — silently wrong physics. The step must
+    detect the escape, rebuild the evaluators on a fresh box, and still
+    match the dense evaluator."""
+    import jax.numpy as jnp
+
+    def shift(system, d):
+        system.fibers.blocks = [b.replace(x=b.x + jnp.asarray(d, b.x.dtype))
+                                for b in system.fibers.blocks]
+
+    s = _build("ewald")
+    stk0, _ = s._ewald_objects()
+    box0 = (stk0.box_lo.copy(), stk0.box_hi.copy())
+    # translate everything far outside the auto box
+    d = (box0[1] - box0[0]) * 2.0 + 1.0
+    shift(s, d)
+    r = s.step()
+    assert bool(r[1])
+    stk1, _ = s._ewald_objects()
+    assert np.any(stk1.box_lo > box0[0]), "box was not rebuilt"
+
+    s_direct = _build("direct")
+    shift(s_direct, d)
+    s_direct.step()
+    x_d = np.concatenate([np.asarray(b.x).ravel()
+                          for b in s_direct.fibers.blocks])
+    x_e = np.concatenate([np.asarray(b.x).ravel() for b in s.fibers.blocks])
+    assert np.abs(x_d - x_e).max() < 1e-6
