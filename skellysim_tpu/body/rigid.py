@@ -171,14 +171,15 @@ def update_cache(state: RigidBodyState, eta) -> RigidBodyCache:
     A = A.at[:3 * n, 3 * n:].set(-K)
     A = A.at[3 * n:, :3 * n].set(-K.T)
     A = A.at[3 * n + jnp.arange(6), 3 * n + jnp.arange(6)].set(1.0)
-    # explicit inverse: the dense precond is APPLIED every GMRES iteration
-    # and a (3n+6)-step triangular solve serializes on TPU; A⁻¹ x is one
-    # MXU matmul. Built once per step; right-precond rounding only shapes
-    # convergence (see fd_fiber.factorize).
-    A_inv = jnp.linalg.inv(A)
+    # LU, not an explicit inverse: the body operator can be numerically
+    # singular along rotation-adjacent modes (the prolate axial-rotation
+    # gate diverges with inv()); lu_solve's structured factors still
+    # precondition well. One body is a single (3n+6) solve per iteration —
+    # cheap next to the fiber block (which DOES use batched inverses).
+    lu, piv = jax.scipy.linalg.lu_factor(A)
     return RigidBodyCache(node_positions=nodes, node_normals=normals,
                           nucleation_sites=sites, e_sub=e_sub, K=K,
-                          A_lu=A_inv, A_piv=jnp.zeros((0,), jnp.int32))
+                          A_lu=lu, A_piv=piv)
 
 
 def geometry_cache(state: RigidBodyState) -> RigidBodyCache:
@@ -205,7 +206,7 @@ def matvec(state: RigidBodyState, cache: RigidBodyCache, v_nodes: jax.Array,
 
 
 def precondition(cache: RigidBodyCache, x: jax.Array) -> jax.Array:
-    return cache.A_lu @ x
+    return jax.scipy.linalg.lu_solve((cache.A_lu, cache.A_piv), x)
 
 
 def update_rhs(v_nodes: jax.Array) -> jax.Array:
