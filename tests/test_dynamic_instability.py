@@ -103,3 +103,24 @@ def test_capacity_growth_recompiles_and_runs(sim_dir):
     system.run()
     assert system.fibers.n_fibers >= 4  # capacity grew beyond the single slot
     assert np.isfinite(system.curr_solution).all()
+
+
+def test_dynamic_instability_with_ewald_evaluator(sim_dir):
+    """Nucleation under the spectral-Ewald evaluator: population growth must
+    coexist with the per-step plans and capacity/box accounting (slot growth
+    recompiles the step; capacities regrow on overflow instead of silently
+    dropping the new fibers' interactions)."""
+    system = _system(sim_dir, v_growth=0.5, nucleation_rate=200.0)
+    system.params.pair_evaluator = "ewald"
+    system.params.ewald_hybrid = False   # tiny system: force the spectral path
+    system.params.gmres_tol = 1e-8
+    system._ewald_pair = None
+    system._step_fn = system._build_step_fn()
+    system._velocity_fn = system._build_velocity_fn()
+    system._ewald_state = system._ewald_objects()[0].spectra()
+    n0 = int(sum(np.sum(np.asarray(b.active)) for b in system.fibers.blocks))
+    system.run()
+    n1 = int(sum(np.sum(np.asarray(b.active)) for b in system.fibers.blocks))
+    assert n1 > n0            # nucleation actually happened
+    L = float(system.fibers.blocks[0].length[0])
+    assert L > 0.5            # the original fiber grew
