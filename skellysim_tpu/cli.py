@@ -58,9 +58,23 @@ def main(argv=None) -> int:
         return 1
 
     from skellysim_tpu.io import tomlio
-    from skellysim_tpu.system import System
 
     config = tomlio.load(args.config_file)
+    if config.get("params", {}).get("fiber_type") == "SpectralPenalty":
+        # spectral penalty fibers run through their own minimal driver
+        # (uncoupled 2D elastica — the reference keeps this fiber offline;
+        # see system/spectral_system.py)
+        if args.resume or args.listen:
+            print("fiber_type=SpectralPenalty supports plain runs only",
+                  file=sys.stderr)
+            return 1
+        from skellysim_tpu.system.spectral_system import SpectralSystem
+
+        SpectralSystem(config, output_file=traj).run()
+        return 0
+
+    from skellysim_tpu.system import System
+
     system = System(config, resume=args.resume, listen=args.listen)
     if args.listen:
         from skellysim_tpu.analysis.listener import serve
