@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Reproducible oocyte-scale step benchmark (BASELINE.md metric 2).
+
+Builds the flagship configuration — a fiber array clamped to a
+surface-of-revolution periphery (the reference's examples/oocyte) — at full
+scale, runs a few implicit timesteps, and reports compile and per-step wall
+time plus GMRES iteration counts for the chosen pair evaluator.
+
+The geometry/precompute npz is cached in the workdir so evaluator A/B runs
+share it. Typical use on the TPU chip:
+
+    python scripts/bench_oocyte.py --evaluator pallas --steps 3
+    python scripts/bench_oocyte.py --evaluator ewald  --steps 3
+    python scripts/bench_oocyte.py --evaluator ewald  --profile-dir /tmp/prof
+
+Prints one JSON line per run (plus log lines on stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_config(args):
+    from skellysim_tpu.config import Config, Fiber, Periphery
+
+    config = Config()
+    p = config.params
+    p.eta = 1.0
+    p.dt_initial = 1e-2
+    p.dt_max = 1e-2
+    p.dt_write = 1.0
+    p.t_final = 10.0
+    p.gmres_tol = args.tol
+    p.seed = 350
+    p.pair_evaluator = args.evaluator
+    p.precision = args.precision
+    p.periphery_interaction_flag = args.walls
+    if args.walls:
+        p.periphery_binding.active = True
+        p.periphery_binding.threshold = 0.3
+    if args.ewald_a is not None:
+        p.ewald_a = args.ewald_a
+    if args.points_per_a is not None:
+        p.ewald_points_per_a = args.points_per_a
+    if args.cut_in_a is not None:
+        p.ewald_cut_in_a = args.cut_in_a
+
+    envelope = {
+        "height": "0.5 * T * ((1 + 2*x/length)**p1) * ((1 - 2*x/length)**p2)"
+                  " * length",
+        "T": 0.72, "p1": 0.4, "p2": 0.2, "length": 7.5,
+        "lower_bound": -3.75, "upper_bound": 3.75,
+        "n_nodes_target": args.shell_nodes,
+    }
+    config.periphery = Periphery(shape="surface_of_revolution",
+                                 n_nodes=args.shell_nodes, envelope=envelope,
+                                 precompute_file="periphery_precompute.npz")
+    config.fibers = [Fiber(length=1.0, bending_rigidity=2.5e-3,
+                           force_scale=-0.05, minus_clamped=True,
+                           n_nodes=args.fiber_nodes)
+                     for _ in range(args.fibers)]
+    config.periphery.move_fibers_to_surface(config.fibers, ds_min=0.03,
+                                            seed=100)
+    return config
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fibers", type=int, default=3000)
+    ap.add_argument("--fiber-nodes", type=int, default=32)
+    ap.add_argument("--shell-nodes", type=int, default=4000)
+    ap.add_argument("--evaluator", default="ewald",
+                    choices=["direct", "pallas", "ewald"])
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--precision", default="single")
+    ap.add_argument("--no-walls", dest="walls", action="store_false",
+                    help="disable periphery repulsion + binding")
+    ap.add_argument("--ewald-a", type=float, default=None)
+    ap.add_argument("--points-per-a", type=float, default=None)
+    ap.add_argument("--cut-in-a", type=float, default=None)
+    ap.add_argument("--workdir", default=".bench_oocyte")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); the env var "
+                         "alone is unreliable under the axon sitecustomize")
+    ap.add_argument("--profile-dir", default=None,
+                    help="jax.profiler trace of the timed steps")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.chdir(args.workdir)
+
+    import logging
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    config = build_config(args)
+    config.save("skelly_config.toml")
+
+    from skellysim_tpu.io import tomlio
+    cfg = tomlio.load("skelly_config.toml")
+
+    t0 = time.perf_counter()
+    from skellysim_tpu.precompute.main import precompute_periphery
+    # mutates cfg["periphery"]["n_nodes"] to the realized mesh size; the
+    # npz itself is cached in the workdir across evaluator A/B runs
+    if os.path.exists("periphery_precompute.npz"):
+        import numpy as np
+        with np.load("periphery_precompute.npz") as z:
+            cfg["periphery"]["n_nodes"] = int(z["nodes"].shape[0])
+    else:
+        precompute_periphery(cfg)
+    print(f"precompute: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    from skellysim_tpu.system.system import System
+
+    t0 = time.perf_counter()
+    system = System(cfg)
+    t_init = time.perf_counter() - t0
+
+    dof = int(system.total_solution_size())
+
+    t0 = time.perf_counter()
+    err, conv = system.step()
+    t_compile_step = time.perf_counter() - t0
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+
+    times = []
+    for _ in range(args.steps):
+        system.time += system.dt  # advance so motor/binding stay in regime
+        t0 = time.perf_counter()
+        err, conv = system.step()
+        times.append(time.perf_counter() - t0)
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+
+    out = {
+        "metric": f"oocyte step wall time ({args.evaluator})",
+        "fibers": args.fibers,
+        "fiber_nodes": args.fiber_nodes,
+        "shell_nodes": int(cfg["periphery"]["n_nodes"]),
+        "dof": dof,
+        "walls": args.walls,
+        "tol": args.tol,
+        "init_s": round(t_init, 2),
+        "first_step_s": round(t_compile_step, 2),
+        "step_s": [round(t, 3) for t in times],
+        "step_s_median": round(sorted(times)[len(times) // 2], 3),
+        "fiber_error": float(err),
+        "converged": bool(conv),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
