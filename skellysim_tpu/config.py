@@ -61,6 +61,7 @@ class Params:
     t_final: float = 100.0
     gmres_tol: float = 1e-8
     gmres_restart: Optional[int] = None  # Krylov restart length (None -> Belos' 300 default)
+    gmres_warm_start: bool = True    # start from the previous step's solution (Belos uses x0=0; same converged answer, fewer iterations)
     fiber_error_tol: float = 1e-1
     seed: int = 130319
     implicit_motor_activation_delay: float = 0.0

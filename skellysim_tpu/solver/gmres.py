@@ -67,8 +67,6 @@ def gmres(
     M = precond if precond is not None else _identity
     n = b.shape[0]
     dtype = b.dtype
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
 
     if compensated:
         from skellysim_tpu.utils import compensated as _comp
@@ -89,6 +87,12 @@ def gmres(
     # guard: zero RHS -> zero solution
     safe_b_norm = jnp.where(b_norm > 0.0, b_norm, 1.0)
     tol_abs = tol * safe_b_norm
+
+    # a warm start (x0 from the previous timestep's solution) costs the same
+    # as the zero start — the first restart cycle's residual matvec runs
+    # either way — and earns its keep purely in iterations saved
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
 
     m = restart
 

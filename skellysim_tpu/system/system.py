@@ -132,6 +132,7 @@ class Params:
         self.ewald_cut_in_a = g("ewald_cut_in_a", None)
         self.compat_timestep_clock = g("compat_timestep_clock", False)
         self.gmres_restart = g("gmres_restart", None)
+        self.gmres_warm_start = g("gmres_warm_start", True)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
         self.dynamic_instability = table.get("dynamic_instability", None)
@@ -198,6 +199,8 @@ class System:
         self._writer: Optional[tio.TrajectoryWriter] = None
         self._output_file = output_file
         self._listen = listen
+        self._curr_solution_dev = None
+        self._curr_solution_host: Optional[np.ndarray] = None
         self.curr_solution = np.zeros(self.total_solution_size())
         if resume:
             self._resume_from(output_file)
@@ -349,6 +352,24 @@ class System:
         return (self.fiber_solution_size() + self.shell_solution_size()
                 + self.body_solution_size())
 
+    @property
+    def curr_solution(self) -> np.ndarray:
+        """Host copy of the latest solve's solution vector, fetched lazily.
+
+        The step keeps the solution on device; materializing ~MB-scale
+        vectors to host every step is pure waste on tunneled backends
+        (~1 MB/s links) — analysis consumers (velocity_at_targets, the
+        listener, tests) trigger the one transfer they need here.
+        """
+        if self._curr_solution_host is None:
+            self._curr_solution_host = np.asarray(self._curr_solution_dev)
+        return self._curr_solution_host
+
+    @curr_solution.setter
+    def curr_solution(self, value) -> None:
+        self._curr_solution_dev = value
+        self._curr_solution_host = None
+
     # ---- compiled timestep ----
     def _build_step_fn(self):
         p = self.params
@@ -357,6 +378,7 @@ class System:
         # Blocks"); override to bound the Krylov buffer (restart × n floats)
         restart = self.params.gmres_restart or min(
             300, max(30, self.total_solution_size()))
+        warm_start = bool(p.gmres_warm_start)
         eta = p.eta
         delay = p.implicit_motor_activation_delay
         has_points = int(np.asarray(self.point_sources.position).shape[0]) > 0
@@ -660,8 +682,21 @@ class System:
                 x_total = s_prev + res.x
                 new_blocks = fs.step_delta(blocks, res.x[:F])
             else:
-                res = gmres(matvec_fn, b_vec, tol=gmres_tol, restart=restart,
-                            precond=precond_fn)
+                if warm_start:
+                    # previous step's solution as the Krylov start: the
+                    # implicit solve's unknowns (new fiber X/T, shell density,
+                    # body densities/U) evolve by O(dt) between steps, so
+                    # x0 = s_prev typically halves the iteration count; the
+                    # converged answer is identical (same ||b-Ax||/||b|| exit)
+                    x_warm = jnp.concatenate(
+                        [fs.pack_solution(blocks)]
+                        + ([shell_state.solution] if has_shell else [])
+                        + ([jnp.zeros(b_vec.shape[0] - FS, b_vec.dtype)]
+                           if has_bodies else []))
+                else:
+                    x_warm = None
+                res = gmres(matvec_fn, b_vec, x_warm, tol=gmres_tol,
+                            restart=restart, precond=precond_fn)
                 x_total = res.x
                 new_blocks = fs.step(blocks, res.x[:F])
 
@@ -861,7 +896,7 @@ class System:
         u = self._velocity_fn(
             self.fibers.blocks, shell_state, self.bodies.states(),
             self.point_sources, self.background,
-            jnp.asarray(self.curr_solution, self.dtype),
+            jnp.asarray(self._curr_solution_dev, self.dtype),
             jnp.asarray(r_trg, self.dtype),
             jnp.asarray(self.time, self.dtype),
             *extra,
@@ -1055,7 +1090,7 @@ class System:
         if self.shell is not None:
             self.shell.state = new_shell
         self.bodies.set_states(new_bodies)
-        self.curr_solution = np.asarray(sol)
+        self.curr_solution = sol  # device array; host copy is lazy (property)
         logger.info(
             "solver: iters %d, residual %.3e, converged %s, wall %.3fs",
             int(iters), float(resid), bool(conv), _walltime.perf_counter() - t0,

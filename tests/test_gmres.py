@@ -75,3 +75,27 @@ def test_gmres_reports_achieved_tolerance(tol):
     true_rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert true_rel <= 5 * tol
     assert float(res.residual) <= tol
+
+
+def test_gmres_warm_start_matches_and_saves_iterations():
+    A, b = _well_conditioned(60)
+    x_exact = np.linalg.solve(A, b)
+    cold = gmres(lambda v: jnp.array(A) @ v, jnp.array(b), tol=1e-12, restart=80)
+    # near-solution start: converges in (far) fewer inner iterations to the
+    # same answer — the System uses the previous step's solution this way
+    x0 = jnp.array(x_exact + 1e-6 * RNG.normal(size=60))
+    warm = gmres(lambda v: jnp.array(A) @ v, jnp.array(b), x0, tol=1e-12,
+                 restart=80)
+    assert bool(warm.converged)
+    np.testing.assert_allclose(np.asarray(warm.x), x_exact, rtol=1e-8, atol=1e-9)
+    assert int(warm.iterations) < int(cold.iterations)
+
+
+def test_gmres_warm_start_already_converged_is_free():
+    A, b = _well_conditioned(40)
+    x_exact = np.linalg.solve(A, b)
+    res = gmres(lambda v: jnp.array(A) @ v, jnp.array(b),
+                jnp.array(x_exact), tol=1e-8, restart=80)
+    assert bool(res.converged)
+    assert int(res.iterations) == 0
+    np.testing.assert_allclose(np.asarray(res.x), x_exact, rtol=1e-7, atol=1e-9)
