@@ -20,9 +20,11 @@ the TPU's 128-lane VPU:
     width padding, no sensitivity to occupancy skew. Overflow of the
     static list length is COUNTED so the caller regrows instead of
     silently losing interactions;
-  * the Pallas kernel's grid is 1-D over the pair list: the three scalar
-    tables prefetch into SMEM and drive the source/target block index
-    maps, so the pipeline DMAs exactly the candidate clusters, and
+  * the Pallas kernel's grid is 1-D over KG-groups of the pair list (each
+    group: KG source clusters × ONE target cluster — rows are group-aligned
+    by construction): the scalar tables prefetch into SMEM and drive the
+    block index maps, so the pipeline DMAs exactly the candidate clusters,
+    each step amortizes grid/DMA sequencing over KG cluster pairs, and
     consecutive same-row steps accumulate in VMEM without write-backs.
     The list is chunked across pallas_calls to respect the 1 MB SMEM.
 
@@ -65,6 +67,15 @@ CS = 128          # SOURCE cluster size: one VPU lane row
 # pairlist stays ~3× the CT=128 length (SMEM prefetch budget is ample).
 CT = 32
 C = CS            # back-compat alias
+# pairs per Pallas grid step. One cluster pair per step leaves the kernel
+# grid-sequencing-bound: each (32, 128) block is ~0.2 µs of VPU work against
+# ~0.5 µs of per-step pipeline overhead (measured 103 ms/apply at oocyte
+# scale vs ~20 ms of pure compute). Padding every target row's pair run to a
+# multiple of KG makes each KG-group single-row, so one grid step processes
+# KG source clusters against one target block with a single output
+# read-modify-write — amortizing the sequencing KG-fold for ≤(KG−1)/⟨pairs
+# per row⟩ extra padded work (~12% at oocyte density, ⟨n⟩ ≈ 57).
+KG = 8
 
 # A&S 7.1.26 erfc coefficients (used with the Gaussian already in hand)
 _AS_P = 0.3275911
@@ -87,19 +98,21 @@ class ClusterPlan(NamedTuple):
     Morton sort permutation, used to re-bin any payload with one gather.
     ``trg_r``: (n_tc+1, 3, C) target cluster stores (slot n_tc is the dummy
     row padded pairs write to). ``rows``/``srcs``/``first``: the chunked
-    COO pair list — (n_chunks, CHUNK) target id, source id, and
-    first-pair-of-this-row-in-this-chunk flag. ``trg_inv``: inverse
-    permutation scattering per-cluster results back to point order.
-    ``dropped``: pair-list overflow count — nonzero means candidate pairs
-    were LOST and the evaluation is wrong; callers regrow the list.
+    COO pair list, row-aligned in KG-groups: ``srcs`` is per pair, ``rows``
+    and ``first`` (first-group-of-this-row-in-this-chunk flag) are per
+    KG-group — every group's KG pairs share one target row by construction.
+    ``trg_inv``: inverse permutation scattering per-cluster results back to
+    point order. ``dropped``: pair-list overflow count — nonzero means
+    candidate pairs were LOST and the evaluation is wrong; callers regrow
+    the list.
     """
 
     src_r: jax.Array      # (n_sc+1, 3, C)
     src_order: jax.Array  # (N_s,)
     trg_r: jax.Array      # (n_tc+1, 3, C)
-    rows: jax.Array       # (n_chunks, CHUNK) int32
-    srcs: jax.Array       # (n_chunks, CHUNK) int32
-    first: jax.Array      # (n_chunks, CHUNK) int32 (0/1)
+    rows: jax.Array       # (n_chunks, CHUNK//KG) int32, per group
+    srcs: jax.Array       # (n_chunks, CHUNK) int32, per pair
+    first: jax.Array      # (n_chunks, CHUNK//KG) int32 (0/1), per group
     trg_inv: jax.Array    # (N_t,) flat index into (n_tc*C)
     dropped: jax.Array    # () int32
 
@@ -185,15 +198,42 @@ def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
     rows_f = rows_f.astype(jnp.int32)
     srcs_f = jnp.where(cols_f == 0, n_sc, cols_f - 1).astype(jnp.int32)
 
-    chunk = min(_CHUNK, -(-pair_total // 128) * 128)
-    n_chunks = -(-pair_total // chunk)
-    pad = n_chunks * chunk - pair_total
-    rows_f = jnp.pad(rows_f, (0, pad), constant_values=n_tc)
-    srcs_f = jnp.pad(srcs_f, (0, pad), constant_values=n_sc)
-    rows_ch = rows_f.reshape(n_chunks, chunk)
-    srcs_ch = srcs_f.reshape(n_chunks, chunk)
-    # first-in-row PER CHUNK: a row straddling a chunk boundary re-inits in
-    # the next chunk's private output; the partial sums add up afterwards
+    # ---- KG-group row alignment: pad each row's (row-major, contiguous)
+    # pair run to a multiple of KG with sentinel sources, so every group of
+    # KG consecutive slots carries ONE target row. The expansion is pure
+    # gather arithmetic (cumsum + searchsorted): slot q belongs to row
+    # r(q) = #(padded offsets ≤ q), is that row's k-th pair, and reads raw
+    # slot ro[r] + k when k is within the row's true count.
+    c_r = jnp.sum(cand2, axis=1).astype(jnp.int32)              # (n_tc,)
+    cp_r = ((c_r + KG - 1) // KG) * KG
+    ro = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(c_r, dtype=jnp.int32)])
+    po_cum = jnp.cumsum(cp_r, dtype=jnp.int32)                  # (n_tc,)
+    po = jnp.concatenate([jnp.zeros(1, jnp.int32), po_cum])
+    # static padded capacity: every row pads by < KG (capacity overflow is
+    # separately counted in `dropped`, and regrown by the caller)
+    p_cap = -(-(pair_total + n_tc * (KG - 1)) // KG) * KG
+    q = jnp.arange(p_cap, dtype=jnp.int32)
+    r_q = jnp.searchsorted(po_cum, q, side="right").astype(jnp.int32)
+    r_qc = jnp.minimum(r_q, n_tc - 1)
+    k_q = q - po[r_qc]
+    p_idx = ro[r_qc] + k_q
+    valid = (r_q < n_tc) & (k_q < c_r[r_qc]) & (p_idx < pair_total)
+    srcs_p = jnp.where(valid,
+                       srcs_f[jnp.clip(p_idx, 0, pair_total - 1)],
+                       n_sc).astype(jnp.int32)
+    rows_p = jnp.where(r_q < n_tc, r_qc, n_tc).astype(jnp.int32)
+
+    chunk = min(_CHUNK, -(-p_cap // 128) * 128)
+    n_chunks = -(-p_cap // chunk)
+    pad = n_chunks * chunk - p_cap
+    rows_p = jnp.pad(rows_p, (0, pad), constant_values=n_tc)
+    srcs_p = jnp.pad(srcs_p, (0, pad), constant_values=n_sc)
+    srcs_ch = srcs_p.reshape(n_chunks, chunk)
+    rows_ch = rows_p.reshape(n_chunks, chunk)[:, ::KG]          # per group
+    # first-of-row PER CHUNK at group granularity: a row straddling a chunk
+    # boundary re-inits in the next chunk's private output; the partial
+    # sums add up afterwards
     prev = jnp.concatenate(
         [jnp.full((n_chunks, 1), -1, jnp.int32), rows_ch[:, :-1]], axis=1)
     first_ch = (rows_ch != prev).astype(jnp.int32)
@@ -307,22 +347,37 @@ def _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a: float,
 # ---- Pallas kernel ----
 
 def _near_kernel(kind: str, a: float):
-    def kernel(rows_ref, srcs_ref, first_ref, sr_ref, sf_ref, tr_ref,
-               out_ref):
+    """One grid step = KG source clusters against ONE target cluster (the
+    plan's groups are row-aligned), accumulated in registers; a single
+    output read-modify-write per step."""
+
+    def kernel(rows_ref, srcs_ref, first_ref, *refs):
+        sr_refs = refs[:KG]
+        sf_refs = refs[KG:2 * KG]
+        tr_ref = refs[2 * KG]
+        out_ref = refs[2 * KG + 1]
         p = pl.program_id(0)
         tx = tr_ref[0, 0:1, :].T                           # (C, 1)
         ty = tr_ref[0, 1:2, :].T
         tz = tr_ref[0, 2:3, :].T
-        sx = sr_ref[0, 0:1, :]                             # (1, C)
-        sy = sr_ref[0, 1:2, :]
-        sz = sr_ref[0, 2:3, :]
-        if kind == "stokeslet":
-            ux, uy, uz = _stokeslet_block(
-                tx, ty, tz, sx, sy, sz,
-                sf_ref[0, 0:1, :], sf_ref[0, 1:2, :], sf_ref[0, 2:3, :], a)
-        else:
-            s9 = tuple(sf_ref[0, k:k + 1, :] for k in range(9))
-            ux, uy, uz = _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a)
+        ux = uy = uz = None
+        for j in range(KG):
+            sr_ref, sf_ref = sr_refs[j], sf_refs[j]
+            sx = sr_ref[0, 0:1, :]                         # (1, C)
+            sy = sr_ref[0, 1:2, :]
+            sz = sr_ref[0, 2:3, :]
+            if kind == "stokeslet":
+                uxj, uyj, uzj = _stokeslet_block(
+                    tx, ty, tz, sx, sy, sz,
+                    sf_ref[0, 0:1, :], sf_ref[0, 1:2, :], sf_ref[0, 2:3, :],
+                    a)
+            else:
+                s9 = tuple(sf_ref[0, k:k + 1, :] for k in range(9))
+                uxj, uyj, uzj = _stresslet_block(tx, ty, tz, sx, sy, sz,
+                                                 s9, a)
+            ux = uxj if ux is None else ux + uxj
+            uy = uyj if uy is None else uy + uyj
+            uz = uzj if uz is None else uz + uzj
 
         @pl.when(first_ref[p] != 0)
         def _():
@@ -350,20 +405,28 @@ def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
     chunks summed.
     """
     n_tc1 = trg_r.shape[0]                                # n_tc + 1 (dummy)
-    n_chunks, chunk = rows.shape
+    n_chunks, chunk = srcs.shape
     flops = {"stokeslet": 30, "stresslet": 60}[kind]
     K = src_f.shape[1]
     Cs = src_r.shape[2]
     Ct = trg_r.shape[2]
 
+    src_specs = [
+        pl.BlockSpec((1, 3, Cs),
+                     lambda p, rw, sc, fr, j=j: (sc[p * KG + j], 0, 0),
+                     memory_space=pltpu.VMEM)
+        for j in range(KG)
+    ]
+    payload_specs = [
+        pl.BlockSpec((1, K, Cs),
+                     lambda p, rw, sc, fr, j=j: (sc[p * KG + j], 0, 0),
+                     memory_space=pltpu.VMEM)
+        for j in range(KG)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(chunk,),
-        in_specs=[
-            pl.BlockSpec((1, 3, Cs), lambda p, rw, sc, fr: (sc[p], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, Cs), lambda p, rw, sc, fr: (sc[p], 0, 0),
-                         memory_space=pltpu.VMEM),
+        grid=(chunk // KG,),
+        in_specs=src_specs + payload_specs + [
             pl.BlockSpec((1, 3, Ct), lambda p, rw, sc, fr: (rw[p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -387,7 +450,7 @@ def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
 
     def one_chunk(c, acc):
         rw, sc, fr = rows[c], srcs[c], first[c]
-        out = call(rw, sc, fr, src_r, src_f, trg_r)
+        out = call(rw, sc, fr, *([src_r] * KG), *([src_f] * KG), trg_r)
         # coverage: the contiguous range of REAL rows this chunk touched
         real = rw < n_tc
         lo_r = jnp.min(jnp.where(real, rw, n_tc1))
@@ -402,8 +465,9 @@ def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
 
 def _near_clusters_xla(src_r, src_f, trg_r, rows, srcs, kind: str, a: float):
     """Same COO pairlist computation in plain XLA (CPU path + parity
-    oracle): scan over pair sub-chunks, segment-add into the row blocks."""
-    rows_f = rows.reshape(-1)
+    oracle): scan over pair sub-chunks, segment-add into the row blocks.
+    ``rows`` is the plan's per-GROUP table; expand to per-pair here."""
+    rows_f = jnp.repeat(rows.reshape(-1), KG)
     srcs_f = srcs.reshape(-1)
     total = rows_f.shape[0]
     sub = 256

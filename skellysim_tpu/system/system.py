@@ -201,6 +201,7 @@ class System:
         self._listen = listen
         self._curr_solution_dev = None
         self._curr_solution_host: Optional[np.ndarray] = None
+        self._last_fiber_collision: Optional[bool] = None
         self.curr_solution = np.zeros(self.total_solution_size())
         if resume:
             self._resume_from(output_file)
@@ -374,6 +375,7 @@ class System:
     def _build_step_fn(self):
         p = self.params
         gmres_tol = p.gmres_tol
+        collide_fn = self._build_collision_fn()
         # 300 = Belos PseudoBlockGmresSolMgr's default restart length ("Num
         # Blocks"); override to bound the Krylov buffer (restart × n floats)
         restart = self.params.gmres_restart or min(
@@ -708,8 +710,13 @@ class System:
             else:
                 new_bodies = body_states
             err = fs.fiber_error(new_blocks, ops)
+            # fiber↔periphery collision on the trial state, fused into the
+            # step so rejection needs no second dispatch (one round trip per
+            # step on tunneled backends); body collision pairs stay host-side
+            collision = (collide_fn(new_blocks) if collide_fn is not None
+                         else jnp.asarray(False))
             return (new_blocks, new_shell, new_bodies, x_total, err, res.residual,
-                    res.iterations, res.converged, ewald_dropped)
+                    res.iterations, res.converged, ewald_dropped, collision)
 
         return step_fn
 
@@ -1070,14 +1077,18 @@ class System:
             shell_state = self.shell.state if self.shell else None
             extra = ((self._ewald_state,) if use_ewald else ())
             (blocks, new_shell, new_bodies, sol, err, resid, iters, conv,
-             dropped) = self._step_fn(
+             dropped, collision) = self._step_fn(
                 self.fibers.blocks, shell_state, self.bodies.states(),
                 self.point_sources, self.background,
                 jnp.asarray(self.dt, self.dtype),
                 jnp.asarray(self.time, self.dtype),
                 *extra,
             )
-            if not use_ewald or int(dropped) == 0:
+            # one batched readback of every step scalar — per-scalar pulls
+            # each pay a full round trip on tunneled backends
+            err, resid_h, iters_h, conv_h, dropped_h, coll_h = jax.device_get(
+                (err, resid, iters, conv, dropped, collision))
+            if not use_ewald or int(dropped_h) == 0:
                 break
             # capacity overflow: the evaluation silently lost `dropped`
             # interactions — the result is WRONG, not merely inaccurate.
@@ -1091,11 +1102,13 @@ class System:
             self.shell.state = new_shell
         self.bodies.set_states(new_bodies)
         self.curr_solution = sol  # device array; host copy is lazy (property)
+        self._last_fiber_collision = bool(coll_h)
         logger.info(
             "solver: iters %d, residual %.3e, converged %s, wall %.3fs",
-            int(iters), float(resid), bool(conv), _walltime.perf_counter() - t0,
+            int(iters_h), float(resid_h), bool(conv_h),
+            _walltime.perf_counter() - t0,
         )
-        return err, bool(conv)
+        return err, bool(conv_h)
 
     def _body_cloud(self, body) -> np.ndarray:
         """Lab-frame surface node positions of one body (host copy)."""
@@ -1171,7 +1184,13 @@ class System:
     def check_collision(self) -> bool:
         """Any collision: fibers↔periphery, bodies↔periphery, body↔body
         (system.cpp:576-595; threshold 0 as in the reference)."""
-        if self._collision_fn is not None and bool(self._collision_fn(self.fibers.blocks)):
+        if self._last_fiber_collision is not None:
+            # fused into the last step's compiled computation (no extra
+            # dispatch); invalidated whenever state changes outside step()
+            if self._last_fiber_collision:
+                return True
+        elif (self._collision_fn is not None
+                and bool(self._collision_fn(self.fibers.blocks))):
             return True
         bodies = self.bodies.bodies
         if self.shell is not None:
@@ -1230,6 +1249,7 @@ class System:
                 if int(self.time / p.dt_write) > int((self.time - dt_clock) / p.dt_write):
                     self.write_frame()
             else:
+                self._last_fiber_collision = None  # trial state discarded
                 self.fibers.blocks = backup[0]
                 if self.shell is not None:
                     self.shell.state = backup[1]
@@ -1304,6 +1324,7 @@ class System:
         (trajectory_reader.cpp:126-251 semantics, single logical rank)."""
         self.time = frame["time"]
         self.dt = frame["dt"]
+        self._last_fiber_collision = None  # state replaced outside step()
         fibers = frame["fibers"][1]
         if len(fibers) != self.fibers.n_fibers or any(
                 self.fibers.blocks[bi].n_nodes != fib["n_nodes_"]
