@@ -170,3 +170,26 @@ def test_evaluator_apply_uses_plan_path():
     got = np.asarray(ew.apply(pts, f, pts, 0.7))
     want = np.asarray(stokeslet_apply(pts, f, pts, 0.7))
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_plan_dense_all_candidates_group_layout():
+    """Every cluster pair a candidate (span < r_cut): stresses the KG group
+    padding/alignment arithmetic with full rows; the legacy cell list needs
+    an oversized cap here (its own silent-overflow mode), which is exactly
+    why the pairlist path replaced it."""
+    rng = np.random.default_rng(33)
+    a = 0.2
+    r_cut = 3.5 * a
+    r = jnp.asarray(rng.uniform(0, 0.8, (640, 3)))
+    f = jnp.asarray(rng.normal(size=(640, 3)))
+    lo = jnp.asarray([-2 * r_cut] * 3)
+    plan = enc.make_plan(r, r, lo, r_cut, 8192)
+    assert int(plan.dropped) == 0
+    n_cells = tuple(int(np.ceil((0.8 + 4 * r_cut) / r_cut)) for _ in range(3))
+    want = np.asarray(ewald._near_apply(r, f, r, lo, r_cut, n_cells, 1024, a))
+    got = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=False))
+    got_p = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=True,
+                                           interpret=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-12 * scale)
+    np.testing.assert_allclose(got_p, want, atol=3e-5 * scale)
