@@ -42,6 +42,7 @@ def build_config(args):
     p.pair_evaluator = args.evaluator
     p.precision = args.precision
     p.periphery_interaction_flag = args.walls
+    p.gmres_warm_start = args.warm
     if args.walls:
         p.periphery_binding.active = True
         p.periphery_binding.threshold = 0.3
@@ -83,6 +84,8 @@ def main(argv=None):
     ap.add_argument("--precision", default="single")
     ap.add_argument("--no-walls", dest="walls", action="store_false",
                     help="disable periphery repulsion + binding")
+    ap.add_argument("--no-warm", dest="warm", action="store_false",
+                    help="disable the GMRES warm start (Belos x0=0 parity)")
     ap.add_argument("--ewald-a", type=float, default=None)
     ap.add_argument("--points-per-a", type=float, default=None)
     ap.add_argument("--cut-in-a", type=float, default=None)
