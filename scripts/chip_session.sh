@@ -29,6 +29,8 @@ run() { # name timeout cmd...
 run bench 1200 python bench.py
 run oocyte_pallas 3600 python scripts/bench_oocyte.py --evaluator pallas \
     --steps 3 --workdir "$WORK"
+run oocyte_pallas_nowarm 3600 python scripts/bench_oocyte.py \
+    --evaluator pallas --no-warm --steps 3 --workdir "$WORK"
 run oocyte_ewald_a18 3600 python scripts/bench_oocyte.py --evaluator ewald \
     --steps 3 --workdir "$WORK"
 run oocyte_ewald_a15 3600 python scripts/bench_oocyte.py --evaluator ewald \
