@@ -52,6 +52,7 @@ def build_config(args):
         p.ewald_points_per_a = args.points_per_a
     if args.cut_in_a is not None:
         p.ewald_cut_in_a = args.cut_in_a
+    p.ewald_near_mxu = args.near_mxu
 
     envelope = {
         "height": "0.5 * T * ((1 + 2*x/length)**p1) * ((1 - 2*x/length)**p2)"
@@ -89,6 +90,8 @@ def main(argv=None):
     ap.add_argument("--ewald-a", type=float, default=None)
     ap.add_argument("--points-per-a", type=float, default=None)
     ap.add_argument("--cut-in-a", type=float, default=None)
+    ap.add_argument("--near-mxu", action="store_true",
+                    help="near-field output contractions on the MXU")
     ap.add_argument("--workdir", default=".bench_oocyte")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); the env var "

@@ -85,6 +85,7 @@ class Params:
     ewald_cap: int = 192                         # near-field cell capacity
     ewald_hybrid: bool = True                    # route small-pair-count couplings to the dense kernels
     ewald_cut_in_a: Optional[float] = None       # near-field cutoff in units of a (None -> tol-aware 3.0/3.5)
+    ewald_near_mxu: bool = False                 # near-field output contractions on the MXU (A/B knob)
 
 
 @dataclass

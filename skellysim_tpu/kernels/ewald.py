@@ -998,11 +998,14 @@ class EwaldStokeslet:
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
-                 pair_total: int = 65536):
+                 pair_total: int = 65536, near_mxu: bool = False):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
         self.r_cut = cut_in_a * a
+        # near-field output contractions on the MXU (A/B knob; stokeslet
+        # kernel only — see ewald_near_cluster._stokeslet_block_mxu)
+        self.near_mxu = bool(near_mxu)
         # the box the grid covers: points OUTSIDE it spread/interp with
         # clamped or vanishing windows — silently wrong physics. Callers
         # (System) count escapes per step and rebuild on a fresh box.
@@ -1083,7 +1086,8 @@ class EwaldStokeslet:
                 grid, r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
                 self.mesh, slab_cap=self.slab_cap)
             u_near = near_apply_plan_sharded(plan, f_src.astype(dt), self.a,
-                                             self.mesh, kind="stokeslet")
+                                             self.mesh, kind="stokeslet",
+                                             mxu=self.near_mxu)
         else:
             bins_src, bins_trg = far_plan if far_plan is not None \
                 else (None, None)
@@ -1091,7 +1095,7 @@ class EwaldStokeslet:
                                     r_trg.astype(dt), slab_cap=self.slab_cap,
                                     bins_src=bins_src, bins_trg=bins_trg)
             u_near = near_apply_plan(plan, f_src.astype(dt), self.a,
-                                     kind="stokeslet")
+                                     kind="stokeslet", mxu=self.near_mxu)
         return ((u_far + u_near) / eta).astype(r_trg.dtype)
 
     def apply(self, r_src, f_src, r_trg, eta=1.0, n_self: int = 0):
@@ -1118,7 +1122,10 @@ class EwaldStresslet:
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
-                 pair_total: int = 65536):
+                 pair_total: int = 65536, near_mxu: bool = False):
+        # near_mxu: accepted for ctor-kw symmetry with EwaldStokeslet; the
+        # MXU output-contraction variant exists for the stokeslet only
+        del near_mxu
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)

@@ -303,6 +303,40 @@ def _stokeslet_block(tx, ty, tz, sx, sy, sz, fx, fy, fz, a: float,
     return ux, uy, uz
 
 
+def _stokeslet_block_mxu(tx, ty, tz, sr, sf, a: float):
+    """MXU-output variant of ``_stokeslet_block``: identical per-pair
+    coefficients (dx/r² by exact subtraction — no Gram cancellation), but
+    the source contractions Σ fN·f and Σ p·[s|1] become two dot_generals
+    contracting the lane axis, shifting the accumulation FMAs and the
+    cross-lane reduction passes from the VPU to the MXU. ``sr``/``sf`` are
+    the (3, S) position/force stores; returns (T, 3)."""
+    sx, sy, sz = sr[0:1, :], sr[1:2, :], sr[2:3, :]
+    dx = tx - sx
+    dy = ty - sy
+    dz = tz - sz
+    r2 = dx * dx + dy * dy + dz * dz
+    nonzero = r2 > 0.0
+    rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
+    rho = r2 * rinv / a
+    gauss = jnp.exp(-rho * rho)
+    erfc = _erfc_as(rho, gauss)
+    c_g = _INV_4PI32 / a
+    fN = _INV_8PI * erfc * rinv - c_g * gauss
+    gN = _INV_8PI * erfc * rinv + c_g * gauss
+    f0 = 1.0 / (2.0 * math.pi**1.5 * a)
+    fN = jnp.where(nonzero, fN, -f0)
+    w = dx * sf[0:1, :] + dy * sf[1:2, :] + dz * sf[2:3, :]   # f·r, exact
+    p = w * (gN * rinv * rinv)
+    dims = (((1,), (1,)), ((), ()))
+    # (T, S) ⋅ (3, S) → (T, 3): Σ_s fN f_i
+    m1 = jax.lax.dot_general(fN, sf, dims, preferred_element_type=jnp.float32)
+    s4 = jnp.concatenate([sr, jnp.ones((1, sr.shape[1]), sr.dtype)], axis=0)
+    # (T, S) ⋅ (4, S) → (T, 4): Σ_s p s_i and Σ_s p
+    m2 = jax.lax.dot_general(p, s4, dims, preferred_element_type=jnp.float32)
+    t3 = jnp.concatenate([tx, ty, tz], axis=1)                # (T, 3)
+    return m1 + t3 * m2[:, 3:4] - m2[:, :3]
+
+
 def _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a: float,
                      exact_erfc: bool = False):
     """Screened-stresslet velocity of one (T, S) cluster pair.
@@ -346,10 +380,11 @@ def _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a: float,
 
 # ---- Pallas kernel ----
 
-def _near_kernel(kind: str, a: float):
+def _near_kernel(kind: str, a: float, mxu: bool = False):
     """One grid step = KG source clusters against ONE target cluster (the
     plan's groups are row-aligned), accumulated in registers; a single
-    output read-modify-write per step."""
+    output read-modify-write per step. ``mxu`` selects the dot_general
+    output-contraction variant (stokeslet only)."""
 
     def kernel(rows_ref, srcs_ref, first_ref, *refs):
         sr_refs = refs[:KG]
@@ -360,24 +395,32 @@ def _near_kernel(kind: str, a: float):
         tx = tr_ref[0, 0:1, :].T                           # (C, 1)
         ty = tr_ref[0, 1:2, :].T
         tz = tr_ref[0, 2:3, :].T
-        ux = uy = uz = None
-        for j in range(KG):
-            sr_ref, sf_ref = sr_refs[j], sf_refs[j]
-            sx = sr_ref[0, 0:1, :]                         # (1, C)
-            sy = sr_ref[0, 1:2, :]
-            sz = sr_ref[0, 2:3, :]
-            if kind == "stokeslet":
-                uxj, uyj, uzj = _stokeslet_block(
-                    tx, ty, tz, sx, sy, sz,
-                    sf_ref[0, 0:1, :], sf_ref[0, 1:2, :], sf_ref[0, 2:3, :],
-                    a)
-            else:
-                s9 = tuple(sf_ref[0, k:k + 1, :] for k in range(9))
-                uxj, uyj, uzj = _stresslet_block(tx, ty, tz, sx, sy, sz,
-                                                 s9, a)
-            ux = uxj if ux is None else ux + uxj
-            uy = uyj if uy is None else uy + uyj
-            uz = uzj if uz is None else uz + uzj
+        if mxu and kind == "stokeslet":
+            u = None
+            for j in range(KG):
+                uj = _stokeslet_block_mxu(tx, ty, tz, sr_refs[j][0],
+                                          sf_refs[j][0], a)
+                u = uj if u is None else u + uj
+            ux, uy, uz = u[:, 0:1], u[:, 1:2], u[:, 2:3]
+        else:
+            ux = uy = uz = None
+            for j in range(KG):
+                sr_ref, sf_ref = sr_refs[j], sf_refs[j]
+                sx = sr_ref[0, 0:1, :]                     # (1, C)
+                sy = sr_ref[0, 1:2, :]
+                sz = sr_ref[0, 2:3, :]
+                if kind == "stokeslet":
+                    uxj, uyj, uzj = _stokeslet_block(
+                        tx, ty, tz, sx, sy, sz,
+                        sf_ref[0, 0:1, :], sf_ref[0, 1:2, :],
+                        sf_ref[0, 2:3, :], a)
+                else:
+                    s9 = tuple(sf_ref[0, k:k + 1, :] for k in range(9))
+                    uxj, uyj, uzj = _stresslet_block(tx, ty, tz, sx, sy, sz,
+                                                     s9, a)
+                ux = uxj if ux is None else ux + uxj
+                uy = uyj if uy is None else uy + uyj
+                uz = uzj if uz is None else uz + uzj
 
         @pl.when(first_ref[p] != 0)
         def _():
@@ -394,9 +437,10 @@ def _near_kernel(kind: str, a: float):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("kind", "a", "interpret"))
+@partial(jax.jit, static_argnames=("kind", "a", "interpret", "mxu"))
 def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
-                          a: float, interpret: bool = False):
+                          a: float, interpret: bool = False,
+                          mxu: bool = False):
     """(n_tc, 3, C) per-cluster velocities via the COO pairlist grid. f32.
 
     One pallas_call per chunk; a chunk's output holds PARTIAL row sums for
@@ -434,7 +478,7 @@ def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
                                memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
-        _near_kernel(kind, a),
+        _near_kernel(kind, a, mxu),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tc1, 3, Ct), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -502,7 +546,8 @@ def _near_clusters_xla(src_r, src_f, trg_r, rows, srcs, kind: str, a: float):
 
 def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
                             mesh, kind: str = "stokeslet",
-                            use_pallas: bool = None) -> jax.Array:
+                            use_pallas: bool = None,
+                            mxu: bool = False) -> jax.Array:
     """Multi-device near field: the COO pairlist's CHUNK axis shards across
     the mesh; each device accumulates its pair chunks into a full-size
     cluster output and one psum combines them.
@@ -537,7 +582,7 @@ def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
             u = _near_clusters_pallas(
                 src_r.astype(jnp.float32), sf.astype(jnp.float32),
                 trg_r.astype(jnp.float32), rows_l, srcs_l, first_l, kind,
-                float(a)).astype(payload.dtype)
+                float(a), mxu=mxu).astype(payload.dtype)
         else:
             u = _near_clusters_xla(src_r, sf, trg_r, rows_l, srcs_l, kind,
                                    float(a))
@@ -552,7 +597,7 @@ def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
 
 def near_apply_plan(plan: ClusterPlan, payload: jax.Array, a: float,
                     kind: str = "stokeslet", use_pallas: bool = None,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False, mxu: bool = False) -> jax.Array:
     """Near-field velocities at the plan's targets from per-source payload
     ((N_s, 3) forces or (N_s, 9) row-major stresslet densities).
 
@@ -567,7 +612,7 @@ def near_apply_plan(plan: ClusterPlan, payload: jax.Array, a: float,
             u_cl = _near_clusters_pallas(
                 plan.src_r.astype(jnp.float32), src_f.astype(jnp.float32),
                 plan.trg_r.astype(jnp.float32), plan.rows, plan.srcs,
-                plan.first, kind, float(a), interpret=interpret)
+                plan.first, kind, float(a), interpret=interpret, mxu=mxu)
         u_cl = u_cl.astype(payload.dtype)
     else:
         u_cl = _near_clusters_xla(plan.src_r, src_f, plan.trg_r,

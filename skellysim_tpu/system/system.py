@@ -130,6 +130,7 @@ class Params:
         self.ewald_tol_override = g("ewald_tol_override", False)
         self.ewald_hybrid = g("ewald_hybrid", True)
         self.ewald_cut_in_a = g("ewald_cut_in_a", None)
+        self.ewald_near_mxu = g("ewald_near_mxu", False)
         self.compat_timestep_clock = g("compat_timestep_clock", False)
         self.gmres_restart = g("gmres_restart", None)
         self.gmres_warm_start = g("gmres_warm_start", True)
@@ -282,7 +283,8 @@ class System:
         kw = dict(lo=lo, hi=hi, a=float(a), cut_in_a=float(cut),
                   points_per_a=self.params.ewald_points_per_a,
                   support=support,
-                  cap=self.params.ewald_cap, dtype=self.dtype)
+                  cap=self.params.ewald_cap, dtype=self.dtype,
+                  near_mxu=self.params.ewald_near_mxu)
         stk = EwaldStokeslet(**kw)
         st = EwaldStresslet(grid=stk.grid, **kw)
 

@@ -193,3 +193,20 @@ def test_plan_dense_all_candidates_group_layout():
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1e-12 * scale)
     np.testing.assert_allclose(got_p, want, atol=3e-5 * scale)
+
+
+def test_pallas_mxu_outputs_match_xla():
+    """The MXU output-contraction stokeslet variant (mxu=True) must match
+    the XLA oracle at f32 tolerance. d and r² stay exact subtractions; only
+    f·r and the source contractions route through dot_general, whose
+    cancellation error is bounded by eps·|t|/r (~1e-5 at production
+    coordinate scales) — inside the f32 evaluator class."""
+    r_src, r_trg, lo, r_cut, plan, a = _setup()
+    f = jnp.asarray(RNG.normal(size=(r_src.shape[0], 3)))
+    want = np.asarray(enc.near_apply_plan(plan, f, a, kind="stokeslet",
+                                          use_pallas=False))
+    got = np.asarray(enc.near_apply_plan(plan, f, a, kind="stokeslet",
+                                         use_pallas=True, interpret=True,
+                                         mxu=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale)
