@@ -128,11 +128,16 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
         ew.pair_total = int(-(-int(1.5 * _pairlist_total(
             pts, ew.lo, ew.r_cut) + 64) // 4096) * 4096)
         sp = ew.spectra()
+        # production semantics: the System builds the binning plans ONCE per
+        # step and shares them across every GMRES apply — prebuild them here
+        plan = ew.make_near_plan(r, r)
+        far_plan = ew.make_far_plan(r, r)
 
         @jax.jit
         def run_e(r_, f_, sp_):
             def body(i, acc):
-                u = ew.apply_with(sp_, r_ + acc * 1e-30, f_, r_, 1.0)
+                u = ew.apply_with(sp_, r_, f_ + acc * 1e-30, r_, 1.0,
+                                  plan=plan, far_plan=far_plan)
                 return jnp.sum(u) * 1e-30
             return jax.lax.fori_loop(0, 3, body, jnp.asarray(0.0, jnp.float32))
 
@@ -227,11 +232,14 @@ def main():
             ew = EwaldStokeslet(lo=[0, 0, 0], hi=[4, 4, 4], a=0.08,
                                 dtype=dtype)
             sp = ew.spectra()
+            plan = ew.make_near_plan(r, r)
+            far_plan = ew.make_far_plan(r, r)
 
             @jax.jit
             def run(r, fv, sp):
                 def body(i, acc):
-                    u = ew.apply_with(sp, r + acc * 1e-30, fv, r, 1.0)
+                    u = ew.apply_with(sp, r, fv + acc * 1e-30, r, 1.0,
+                                      plan=plan, far_plan=far_plan)
                     return jnp.sum(u) * 1e-30
                 return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
 
