@@ -200,3 +200,33 @@ def test_sharded_ewald_apply_matches_single_device():
     es.mesh = mesh
     got = np.asarray(es.apply(pts, S, pts, 0.9))
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_near_field_pairlist_sharded_matches_single():
+    """near_apply_plan_sharded: pair chunks shard over the mesh, one psum
+    combines — must equal the single-device pairlist evaluation exactly
+    (chunk partial sums are disjoint row ranges)."""
+    from skellysim_tpu.kernels import ewald_near_cluster as enc
+
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.default_rng(77)
+    a = 0.22
+    r_cut = 3.5 * a
+    r_src = jnp.asarray(rng.uniform(0, 2.0, (900, 3)))
+    r_trg = jnp.asarray(rng.uniform(0, 2.0, (700, 3)))
+    lo = jnp.asarray([-2 * r_cut] * 3)
+    import skellysim_tpu.kernels.ewald_near_cluster as mod
+    old = mod._CHUNK
+    mod._CHUNK = 256        # force many chunks so the shard axis is real
+    try:
+        plan = enc.make_plan(r_src, r_trg, lo, r_cut, 2048)
+        assert int(plan.dropped) == 0
+        assert plan.rows.shape[0] >= 8
+        f = jnp.asarray(rng.normal(size=(900, 3)))
+        want = np.asarray(enc.near_apply_plan(plan, f, a, use_pallas=False))
+        got = np.asarray(enc.near_apply_plan_sharded(plan, f, a, mesh,
+                                                     use_pallas=False))
+        np.testing.assert_allclose(got, want, rtol=1e-12,
+                                   atol=1e-13 * np.abs(want).max())
+    finally:
+        mod._CHUNK = old
