@@ -75,7 +75,12 @@ C = CS            # back-compat alias
 # KG source clusters against one target block with a single output
 # read-modify-write — amortizing the sequencing KG-fold for ≤(KG−1)/⟨pairs
 # per row⟩ extra padded work (~12% at oocyte density, ⟨n⟩ ≈ 57).
-KG = 8
+# Env-tunable for on-chip A/B (must divide 128); plans and kernels must be
+# built under the same value — set it before the first import.
+import os as _os
+
+KG = int(_os.environ.get("SKELLY_NEAR_KG", "8"))
+assert 128 % KG == 0, "SKELLY_NEAR_KG must divide 128"
 
 # A&S 7.1.26 erfc coefficients (used with the Gaussian already in hand)
 _AS_P = 0.3275911
