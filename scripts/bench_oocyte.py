@@ -53,6 +53,7 @@ def build_config(args):
     if args.cut_in_a is not None:
         p.ewald_cut_in_a = args.cut_in_a
     p.ewald_near_mxu = args.near_mxu
+    p.ewald_near_poly = args.near_poly
 
     envelope = {
         "height": "0.5 * T * ((1 + 2*x/length)**p1) * ((1 - 2*x/length)**p2)"
@@ -92,6 +93,8 @@ def main(argv=None):
     ap.add_argument("--cut-in-a", type=float, default=None)
     ap.add_argument("--near-mxu", action="store_true",
                     help="near-field output contractions on the MXU")
+    ap.add_argument("--near-poly", action="store_true",
+                    help="FMA-only polynomial screened coefficients")
     ap.add_argument("--workdir", default=".bench_oocyte")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); the env var "

@@ -86,6 +86,7 @@ class Params:
     ewald_hybrid: bool = True                    # route small-pair-count couplings to the dense kernels
     ewald_cut_in_a: Optional[float] = None       # near-field cutoff in units of a (None -> tol-aware 3.0/3.5)
     ewald_near_mxu: bool = False                 # near-field output contractions on the MXU (A/B knob)
+    ewald_near_poly: bool = False                # FMA-only polynomial screened coefficients (A/B knob)
 
 
 @dataclass

@@ -998,7 +998,8 @@ class EwaldStokeslet:
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
-                 pair_total: int = 65536, near_mxu: bool = False):
+                 pair_total: int = 65536, near_mxu: bool = False,
+                 near_poly: bool = False):
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
@@ -1006,6 +1007,9 @@ class EwaldStokeslet:
         # near-field output contractions on the MXU (A/B knob; stokeslet
         # kernel only — see ewald_near_cluster._stokeslet_block_mxu)
         self.near_mxu = bool(near_mxu)
+        # FMA-only polynomial screened coefficients (A/B knob; replaces the
+        # per-pair exp/erfc/divide — ewald_near_cluster._screened_polys)
+        self.near_poly = bool(near_poly)
         # the box the grid covers: points OUTSIDE it spread/interp with
         # clamped or vanishing windows — silently wrong physics. Callers
         # (System) count escapes per step and rebuild on a fresh box.
@@ -1085,17 +1089,20 @@ class EwaldStokeslet:
             u_far = far_field_apply_sharded(
                 grid, r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
                 self.mesh, slab_cap=self.slab_cap)
-            u_near = near_apply_plan_sharded(plan, f_src.astype(dt), self.a,
-                                             self.mesh, kind="stokeslet",
-                                             mxu=self.near_mxu)
+            u_near = near_apply_plan_sharded(
+                plan, f_src.astype(dt), self.a, self.mesh, kind="stokeslet",
+                mxu=self.near_mxu,
+                poly_cut=self.r_cut if self.near_poly else None)
         else:
             bins_src, bins_trg = far_plan if far_plan is not None \
                 else (None, None)
             u_far = far_field_apply(grid, r_src.astype(dt), f_src.astype(dt),
                                     r_trg.astype(dt), slab_cap=self.slab_cap,
                                     bins_src=bins_src, bins_trg=bins_trg)
-            u_near = near_apply_plan(plan, f_src.astype(dt), self.a,
-                                     kind="stokeslet", mxu=self.near_mxu)
+            u_near = near_apply_plan(
+                plan, f_src.astype(dt), self.a, kind="stokeslet",
+                mxu=self.near_mxu,
+                poly_cut=self.r_cut if self.near_poly else None)
         return ((u_far + u_near) / eta).astype(r_trg.dtype)
 
     def apply(self, r_src, f_src, r_trg, eta=1.0, n_self: int = 0):
@@ -1122,10 +1129,12 @@ class EwaldStresslet:
                  support: int = None, cut_in_a: float = 3.5, cap: int = 192,
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
-                 pair_total: int = 65536, near_mxu: bool = False):
+                 pair_total: int = 65536, near_mxu: bool = False,
+                 near_poly: bool = False):
         # near_mxu: accepted for ctor-kw symmetry with EwaldStokeslet; the
         # MXU output-contraction variant exists for the stokeslet only
         del near_mxu
+        self.near_poly = bool(near_poly)
         self.grid = (grid if grid is not None
                      else build_grid(lo, hi, a, points_per_a, support, dtype))
         self.a = float(a)
@@ -1192,8 +1201,9 @@ class EwaldStresslet:
             u_far = far_field_apply_sharded(
                 grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,
                 slab_cap=self.slab_cap, convolve="stresslet")
-            u_near = near_apply_plan_sharded(plan, payload, self.a,
-                                             self.mesh, kind="stresslet")
+            u_near = near_apply_plan_sharded(
+                plan, payload, self.a, self.mesh, kind="stresslet",
+                poly_cut=self.r_cut if self.near_poly else None)
         else:
             bins_src, bins_trg = far_plan if far_plan is not None \
                 else (None, None)
@@ -1201,7 +1211,9 @@ class EwaldStresslet:
                                         S.astype(dt), r_trg.astype(dt),
                                         slab_cap=self.slab_cap,
                                         bins_src=bins_src, bins_trg=bins_trg)
-            u_near = near_apply_plan(plan, payload, self.a, kind="stresslet")
+            u_near = near_apply_plan(
+                plan, payload, self.a, kind="stresslet",
+                poly_cut=self.r_cut if self.near_poly else None)
         return ((u_far + u_near) / (2.0 * eta)).astype(r_trg.dtype)
 
     def apply(self, r_src, S, r_trg, eta=1.0):

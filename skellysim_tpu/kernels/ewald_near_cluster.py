@@ -95,6 +95,67 @@ def _erfc_as(rho, gauss):
     return poly * gauss
 
 
+# ---- build-time polynomial fits of the screened coefficients ----
+#
+# The per-pair transcendentals (exp, the erfc rational's divide) can be
+# traded for pure FMA chains: every screened coefficient is (odd powers of
+# 1/r) × smooth even functions of ρ = r/a, and even functions of ρ are
+# smooth in x = ρ² = r²/a² — which needs NO square root:
+#
+#   8π·fN = rinv·erfc(ρ) − 2·E/(√π a)        = rinv − Pd(x)/a,
+#       Pd = S + 2E/√π,  S(x) = erf(√x)/√x,  E(x) = e^{−x}
+#   8π·gN = rinv − Qd(x)/a,   Qd = S − 2E/√π
+#   A_r  = E(x)/(2π^{3/2}a³)
+#   C_r3 = rinv⁵·(−3/4π) + rinv⁴·W(x)/a,
+#       W = 3S/4π − 3E/(2π^{3/2}) − xE/π^{3/2}
+#
+# Fits are Chebyshev-node least squares in t = 2x/x_max − 1 on
+# [0, (1.3·r_cut/a)²]: the 1.3 margin puts the domain edge at e^{−x} ≲
+# e^{−15}, so zeroing coefficients beyond it (bbox-admitted pairs can
+# exceed r_cut by the cluster diagonals) is far below the f32 evaluator
+# class. Degree 14 at x_max = 9 reaches the f32 Horner floor (~4e-7 abs);
+# the degree scales ∝ √x_max for wider cuts. Built at trace time from the
+# STATIC (a, r_cut) — the same precompute-not-evaluate trade the
+# reference's FMM makes with its precomputed M2L operators
+# (kernels.hpp:56-134), here at ~ms cost per (a, cut) pair.
+_POLY_MARGIN = 1.3
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _screened_polys(a: float, r_cut: float):
+    """Power-basis (in t) coefficient tuples (pd, qd, e, w) and x_max."""
+    xmax = (_POLY_MARGIN * r_cut / a) ** 2
+    deg = max(14, min(24, int(math.ceil(14.0 * math.sqrt(xmax / 9.0)))))
+    k = np.arange(4 * deg + 1)
+    t = np.cos(np.pi * (k + 0.5) / len(k))
+    x = np.maximum((t + 1.0) * (xmax / 2.0), 1e-14)
+    sq = np.sqrt(x)
+    S = np.array([math.erf(v) for v in sq]) / sq
+    E = np.exp(-x)
+    sqpi = math.sqrt(math.pi)
+    tgt = {
+        "pd": S + (2.0 / sqpi) * E,
+        "qd": S - (2.0 / sqpi) * E,
+        "e": E,
+        "w": (3.0 * S / (4.0 * math.pi) - 3.0 * E / (2.0 * math.pi ** 1.5)
+              - x * E / math.pi ** 1.5),
+    }
+    fit = np.polynomial.polynomial.polyfit
+    out = {kk: tuple(float(c) for c in fit(t, v, deg))
+           for kk, v in tgt.items()}
+    return out, float(xmax)
+
+
+def _horner(coef, t):
+    """Horner chain with python-float constants (f32 under the kernel)."""
+    acc = coef[-1]
+    for c in coef[-2::-1]:
+        acc = acc * t + c
+    return acc
+
+
 class ClusterPlan(NamedTuple):
     """Positions-only pairlist state, shared across the applies of a step.
 
@@ -276,8 +337,40 @@ def unbin_targets(plan: ClusterPlan, u_cl: jax.Array) -> jax.Array:
 
 # ---- the pair-block math (shared by the Pallas kernel and the XLA oracle) --
 
+def _stokeslet_coeffs(r2, rinv, nonzero, a: float, exact_erfc: bool,
+                      poly):
+    """(fN, gN) screened-stokeslet coefficients for a pair block.
+
+    ``poly`` = None selects the transcendental path (lax.erfc when
+    ``exact_erfc`` — the f64 oracle — else the A&S rational form); a
+    ``_screened_polys`` result selects the FMA-only Horner path (the VPU
+    has no fast divide/exp; two degree-~14 chains replace them, error at
+    the f32 floor — see the fit-derivation comment above).
+    """
+    if poly is not None:
+        tbl, xmax = poly
+        x = r2 * (1.0 / (a * a))
+        t = x * (2.0 / xmax) - 1.0
+        inside = x <= xmax
+        fN = _INV_8PI * (rinv - _horner(tbl["pd"], t) * (1.0 / a))
+        gN = _INV_8PI * (rinv - _horner(tbl["qd"], t) * (1.0 / a))
+        fN = jnp.where(inside, fN, 0.0)
+        gN = jnp.where(inside, gN, 0.0)
+    else:
+        rho = r2 * rinv / a                                # r/a
+        gauss = jnp.exp(-rho * rho)
+        erfc = jax.lax.erfc(rho) if exact_erfc else _erfc_as(rho, gauss)
+        c_g = _INV_4PI32 / a
+        fN = _INV_8PI * erfc * rinv - c_g * gauss
+        gN = _INV_8PI * erfc * rinv + c_g * gauss
+    # r = 0: cancel the far grid's f_far(0) = 1/(2π^{3/2}a) self term
+    f0 = 1.0 / (2.0 * math.pi**1.5 * a)
+    fN = jnp.where(nonzero, fN, -f0)
+    return fN, gN
+
+
 def _stokeslet_block(tx, ty, tz, sx, sy, sz, fx, fy, fz, a: float,
-                     exact_erfc: bool = False):
+                     exact_erfc: bool = False, poly=None):
     """Screened-stokeslet velocity of one (T, S) cluster pair.
 
     Targets on sublanes ((T, 1) columns), sources on lanes ((1, S) rows).
@@ -292,15 +385,7 @@ def _stokeslet_block(tx, ty, tz, sx, sy, sz, fx, fy, fz, a: float,
     r2 = dx * dx + dy * dy + dz * dz
     nonzero = r2 > 0.0
     rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
-    rho = r2 * rinv / a                                    # r/a
-    gauss = jnp.exp(-rho * rho)
-    erfc = jax.lax.erfc(rho) if exact_erfc else _erfc_as(rho, gauss)
-    c_g = _INV_4PI32 / a
-    fN = _INV_8PI * erfc * rinv - c_g * gauss
-    gN = _INV_8PI * erfc * rinv + c_g * gauss
-    # r = 0: cancel the far grid's f_far(0) = 1/(2π^{3/2}a) self term
-    f0 = 1.0 / (2.0 * math.pi**1.5 * a)
-    fN = jnp.where(nonzero, fN, -f0)
+    fN, gN = _stokeslet_coeffs(r2, rinv, nonzero, a, exact_erfc, poly)
     df_r2 = (dx * fx + dy * fy + dz * fz) * (gN * rinv * rinv)
     ux = jnp.sum(fN * fx + df_r2 * dx, axis=1, keepdims=True)
     uy = jnp.sum(fN * fy + df_r2 * dy, axis=1, keepdims=True)
@@ -308,7 +393,7 @@ def _stokeslet_block(tx, ty, tz, sx, sy, sz, fx, fy, fz, a: float,
     return ux, uy, uz
 
 
-def _stokeslet_block_mxu(tx, ty, tz, sr, sf, a: float):
+def _stokeslet_block_mxu(tx, ty, tz, sr, sf, a: float, poly=None):
     """MXU-output variant of ``_stokeslet_block``: identical per-pair
     coefficients (dx/r² by exact subtraction — no Gram cancellation), but
     the source contractions Σ fN·f and Σ p·[s|1] become two dot_generals
@@ -322,14 +407,7 @@ def _stokeslet_block_mxu(tx, ty, tz, sr, sf, a: float):
     r2 = dx * dx + dy * dy + dz * dz
     nonzero = r2 > 0.0
     rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
-    rho = r2 * rinv / a
-    gauss = jnp.exp(-rho * rho)
-    erfc = _erfc_as(rho, gauss)
-    c_g = _INV_4PI32 / a
-    fN = _INV_8PI * erfc * rinv - c_g * gauss
-    gN = _INV_8PI * erfc * rinv + c_g * gauss
-    f0 = 1.0 / (2.0 * math.pi**1.5 * a)
-    fN = jnp.where(nonzero, fN, -f0)
+    fN, gN = _stokeslet_coeffs(r2, rinv, nonzero, a, False, poly)
     w = dx * sf[0:1, :] + dy * sf[1:2, :] + dz * sf[2:3, :]   # f·r, exact
     p = w * (gN * rinv * rinv)
     dims = (((1,), (1,)), ((), ()))
@@ -343,7 +421,7 @@ def _stokeslet_block_mxu(tx, ty, tz, sr, sf, a: float):
 
 
 def _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a: float,
-                     exact_erfc: bool = False):
+                     exact_erfc: bool = False, poly=None):
     """Screened-stresslet velocity of one (T, S) cluster pair.
     ``s9``: tuple of 9 (1, S) rows of S_ij in row-major ij order.
     T_near(0) = 0, so no coincident correction is needed."""
@@ -355,19 +433,33 @@ def _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a: float,
     nonzero = r2 > 0.0
     r2s = jnp.where(nonzero, r2, 1.0)
     rinv = jnp.where(nonzero, jax.lax.rsqrt(r2s), 0.0)
-    r = r2 * rinv
-    rho = r / a
-    gauss = jnp.exp(-rho * rho)
-    erfc = jax.lax.erfc(rho) if exact_erfc else _erfc_as(rho, gauss)
     c3 = 1.0 / (2.0 * math.pi**1.5 * a**3)
-    A_r = c3 * gauss                                       # = B_r
     rinv2 = rinv * rinv
-    rinv3 = rinv2 * rinv
-    C_r3 = (-3.0 / (4.0 * math.pi) * erfc * rinv2
-            - 3.0 / (2.0 * math.pi**1.5 * a) * gauss * rinv
-            - 2.0 * c3 * r * gauss) * rinv3
-    A_r = jnp.where(nonzero, A_r, 0.0)
-    C_r3 = jnp.where(nonzero, C_r3, 0.0)
+    if poly is not None:
+        # A_r = c3·E(x); C_r3 = rinv⁵(−3/4π) + rinv⁴ W(x)/a — the erf part
+        # of the bracket cancels analytically (see the fit derivation)
+        tbl, xmax = poly
+        x = r2 * (1.0 / (a * a))
+        t = x * (2.0 / xmax) - 1.0
+        inside = nonzero & (x <= xmax)
+        A_r = c3 * _horner(tbl["e"], t)
+        rinv4 = rinv2 * rinv2
+        C_r3 = (rinv4 * rinv * (-3.0 / (4.0 * math.pi))
+                + rinv4 * (1.0 / a) * _horner(tbl["w"], t))
+        A_r = jnp.where(inside, A_r, 0.0)
+        C_r3 = jnp.where(inside, C_r3, 0.0)
+    else:
+        r = r2 * rinv
+        rho = r / a
+        gauss = jnp.exp(-rho * rho)
+        erfc = jax.lax.erfc(rho) if exact_erfc else _erfc_as(rho, gauss)
+        A_r = c3 * gauss                                   # = B_r
+        rinv3 = rinv2 * rinv
+        C_r3 = (-3.0 / (4.0 * math.pi) * erfc * rinv2
+                - 3.0 / (2.0 * math.pi**1.5 * a) * gauss * rinv
+                - 2.0 * c3 * r * gauss) * rinv3
+        A_r = jnp.where(nonzero, A_r, 0.0)
+        C_r3 = jnp.where(nonzero, C_r3, 0.0)
     tr = sxx + syy + szz
     Sd_x = sxx * dx + sxy * dy + sxz * dz
     Sd_y = syx * dx + syy * dy + syz * dz
@@ -385,11 +477,12 @@ def _stresslet_block(tx, ty, tz, sx, sy, sz, s9, a: float,
 
 # ---- Pallas kernel ----
 
-def _near_kernel(kind: str, a: float, mxu: bool = False):
+def _near_kernel(kind: str, a: float, mxu: bool = False, poly=None):
     """One grid step = KG source clusters against ONE target cluster (the
     plan's groups are row-aligned), accumulated in registers; a single
     output read-modify-write per step. ``mxu`` selects the dot_general
-    output-contraction variant (stokeslet only)."""
+    output-contraction variant (stokeslet only); ``poly`` the FMA-only
+    Horner coefficient path (a ``_screened_polys`` result)."""
 
     def kernel(rows_ref, srcs_ref, first_ref, *refs):
         sr_refs = refs[:KG]
@@ -404,7 +497,7 @@ def _near_kernel(kind: str, a: float, mxu: bool = False):
             u = None
             for j in range(KG):
                 uj = _stokeslet_block_mxu(tx, ty, tz, sr_refs[j][0],
-                                          sf_refs[j][0], a)
+                                          sf_refs[j][0], a, poly=poly)
                 u = uj if u is None else u + uj
             ux, uy, uz = u[:, 0:1], u[:, 1:2], u[:, 2:3]
         else:
@@ -418,11 +511,11 @@ def _near_kernel(kind: str, a: float, mxu: bool = False):
                     uxj, uyj, uzj = _stokeslet_block(
                         tx, ty, tz, sx, sy, sz,
                         sf_ref[0, 0:1, :], sf_ref[0, 1:2, :],
-                        sf_ref[0, 2:3, :], a)
+                        sf_ref[0, 2:3, :], a, poly=poly)
                 else:
                     s9 = tuple(sf_ref[0, k:k + 1, :] for k in range(9))
                     uxj, uyj, uzj = _stresslet_block(tx, ty, tz, sx, sy, sz,
-                                                     s9, a)
+                                                     s9, a, poly=poly)
                 ux = uxj if ux is None else ux + uxj
                 uy = uyj if uy is None else uy + uyj
                 uz = uzj if uz is None else uz + uzj
@@ -442,17 +535,20 @@ def _near_kernel(kind: str, a: float, mxu: bool = False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("kind", "a", "interpret", "mxu"))
+@partial(jax.jit,
+         static_argnames=("kind", "a", "interpret", "mxu", "poly_cut"))
 def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
                           a: float, interpret: bool = False,
-                          mxu: bool = False):
+                          mxu: bool = False, poly_cut: float = None):
     """(n_tc, 3, C) per-cluster velocities via the COO pairlist grid. f32.
 
     One pallas_call per chunk; a chunk's output holds PARTIAL row sums for
     the contiguous row range its pairs touch (everything else in its buffer
     is never written), so each chunk is masked to its coverage and the
-    chunks summed.
+    chunks summed. ``poly_cut`` (static; the plan's r_cut) selects the
+    polynomial coefficient path.
     """
+    poly = _screened_polys(a, poly_cut) if poly_cut is not None else None
     n_tc1 = trg_r.shape[0]                                # n_tc + 1 (dummy)
     n_chunks, chunk = srcs.shape
     flops = {"stokeslet": 30, "stresslet": 60}[kind]
@@ -483,13 +579,14 @@ def _near_clusters_pallas(src_r, src_f, trg_r, rows, srcs, first, kind: str,
                                memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
-        _near_kernel(kind, a, mxu),
+        _near_kernel(kind, a, mxu, poly),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tc1, 3, Ct), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops * chunk * Ct * Cs,
+            flops=(flops + (0 if poly is None
+                            else 4 * len(poly[0]["pd"]))) * chunk * Ct * Cs,
             bytes_accessed=4 * chunk * (3 + K) * Cs,
-            transcendentals=2 * chunk * Ct * Cs,
+            transcendentals=(0 if poly is not None else 2) * chunk * Ct * Cs,
         ),
         interpret=interpret,
     )
@@ -552,7 +649,8 @@ def _near_clusters_xla(src_r, src_f, trg_r, rows, srcs, kind: str, a: float):
 def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
                             mesh, kind: str = "stokeslet",
                             use_pallas: bool = None,
-                            mxu: bool = False) -> jax.Array:
+                            mxu: bool = False,
+                            poly_cut: float = None) -> jax.Array:
     """Multi-device near field: the COO pairlist's CHUNK axis shards across
     the mesh; each device accumulates its pair chunks into a full-size
     cluster output and one psum combines them.
@@ -587,7 +685,8 @@ def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
             u = _near_clusters_pallas(
                 src_r.astype(jnp.float32), sf.astype(jnp.float32),
                 trg_r.astype(jnp.float32), rows_l, srcs_l, first_l, kind,
-                float(a), mxu=mxu).astype(payload.dtype)
+                float(a), mxu=mxu,
+                poly_cut=poly_cut).astype(payload.dtype)
         else:
             u = _near_clusters_xla(src_r, sf, trg_r, rows_l, srcs_l, kind,
                                    float(a))
@@ -602,7 +701,8 @@ def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
 
 def near_apply_plan(plan: ClusterPlan, payload: jax.Array, a: float,
                     kind: str = "stokeslet", use_pallas: bool = None,
-                    interpret: bool = False, mxu: bool = False) -> jax.Array:
+                    interpret: bool = False, mxu: bool = False,
+                    poly_cut: float = None) -> jax.Array:
     """Near-field velocities at the plan's targets from per-source payload
     ((N_s, 3) forces or (N_s, 9) row-major stresslet densities).
 
@@ -617,7 +717,8 @@ def near_apply_plan(plan: ClusterPlan, payload: jax.Array, a: float,
             u_cl = _near_clusters_pallas(
                 plan.src_r.astype(jnp.float32), src_f.astype(jnp.float32),
                 plan.trg_r.astype(jnp.float32), plan.rows, plan.srcs,
-                plan.first, kind, float(a), interpret=interpret, mxu=mxu)
+                plan.first, kind, float(a), interpret=interpret, mxu=mxu,
+                poly_cut=poly_cut)
         u_cl = u_cl.astype(payload.dtype)
     else:
         u_cl = _near_clusters_xla(plan.src_r, src_f, plan.trg_r,

@@ -131,6 +131,7 @@ class Params:
         self.ewald_hybrid = g("ewald_hybrid", True)
         self.ewald_cut_in_a = g("ewald_cut_in_a", None)
         self.ewald_near_mxu = g("ewald_near_mxu", False)
+        self.ewald_near_poly = g("ewald_near_poly", False)
         self.compat_timestep_clock = g("compat_timestep_clock", False)
         self.gmres_restart = g("gmres_restart", None)
         self.gmres_warm_start = g("gmres_warm_start", True)
@@ -284,7 +285,8 @@ class System:
                   points_per_a=self.params.ewald_points_per_a,
                   support=support,
                   cap=self.params.ewald_cap, dtype=self.dtype,
-                  near_mxu=self.params.ewald_near_mxu)
+                  near_mxu=self.params.ewald_near_mxu,
+                  near_poly=self.params.ewald_near_poly)
         stk = EwaldStokeslet(**kw)
         st = EwaldStresslet(grid=stk.grid, **kw)
 

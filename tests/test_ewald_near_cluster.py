@@ -195,6 +195,53 @@ def test_plan_dense_all_candidates_group_layout():
     np.testing.assert_allclose(got_p, want, atol=3e-5 * scale)
 
 
+@pytest.mark.parametrize("kind,K,mxu", [("stokeslet", 3, False),
+                                        ("stokeslet", 3, True),
+                                        ("stresslet", 9, False)])
+def test_pallas_poly_coeffs_match_oracle(kind, K, mxu):
+    """The FMA-only polynomial coefficient path must match the exact-erfc
+    XLA oracle at the f32 evaluator class. The poly path zeroes pairs
+    beyond 1.3·r_cut (where the screened coefficients are ≤ e^{−15}), so
+    its only extra error vs the transcendental path is the Horner fit
+    (~4e-7 abs, _screened_polys docstring)."""
+    r_src, r_trg, lo, r_cut, plan, a = _setup()
+    pay = jnp.asarray(RNG.normal(size=(r_src.shape[0], K)))
+    want = np.asarray(enc.near_apply_plan(plan, pay, a, kind=kind,
+                                          use_pallas=False))
+    got = np.asarray(enc.near_apply_plan(plan, pay, a, kind=kind,
+                                         use_pallas=True, interpret=True,
+                                         mxu=mxu, poly_cut=float(r_cut)))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=(5e-5 if mxu else 3e-5) * scale)
+
+
+def test_poly_fit_tables_accuracy():
+    """The build-time fits themselves: Pd/Qd/E/W reproduce their exact
+    (erf/exp) definitions below 1e-6 over the whole domain."""
+    import math
+
+    tbl, xmax = enc._screened_polys(0.22, 3.0 * 0.22)
+    xs = np.linspace(1e-12, xmax, 4001)
+    sq = np.sqrt(xs)
+    S = np.array([math.erf(v) for v in sq]) / sq
+    E = np.exp(-xs)
+    sqpi = math.sqrt(math.pi)
+    exact = {
+        "pd": S + 2.0 / sqpi * E,
+        "qd": S - 2.0 / sqpi * E,
+        "e": E,
+        "w": (3.0 * S / (4.0 * math.pi) - 3.0 * E / (2.0 * math.pi ** 1.5)
+              - xs * E / math.pi ** 1.5),
+    }
+    t = (2.0 * xs / xmax - 1.0).astype(np.float32)
+    for name, coef in tbl.items():
+        acc = np.full_like(t, coef[-1], np.float32)
+        for c in coef[-2::-1]:
+            acc = acc * t + np.float32(c)
+        err = np.abs(acc.astype(np.float64) - exact[name]).max()
+        assert err < 1e-6, (name, err)
+
+
 def test_pallas_mxu_outputs_match_xla():
     """The MXU output-contraction stokeslet variant (mxu=True) must match
     the XLA oracle at f32 tolerance. d and r² stay exact subtractions; only
