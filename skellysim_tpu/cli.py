@@ -27,8 +27,12 @@ def main(argv=None) -> int:
                     help="force a jax platform (cpu/tpu); default uses the session default")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host run: call jax.distributed.initialize() "
+                         "and shard the system over every device "
                          "(coordinator/process env auto-detected on TPU pods; "
                          "the mpirun replacement — see scripts/skelly_sim_tpu_pod.sh)")
+    ap.add_argument("--n-devices", default=None,
+                    help="shard the system over this many local devices "
+                         "('auto' = all); implied by --distributed")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the run into this directory")
     args = ap.parse_args(argv)
@@ -75,7 +79,13 @@ def main(argv=None) -> int:
 
     from skellysim_tpu.system import System
 
-    system = System(config, resume=args.resume, listen=args.listen)
+    n_devices = args.n_devices
+    if n_devices is None and args.distributed:
+        n_devices = "auto"
+    elif n_devices is not None and n_devices != "auto":
+        n_devices = int(n_devices)
+    system = System(config, resume=args.resume, listen=args.listen,
+                    n_devices=n_devices)
     if args.listen:
         from skellysim_tpu.analysis.listener import serve
 

@@ -834,7 +834,7 @@ def far_field_apply_sharded(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
     rank reads the global far field.
     """
     import numpy as _np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
@@ -859,9 +859,9 @@ def far_field_apply_sharded(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
                                                 L, grid.h)
         return _interp_slab(u, rt_l, lo, grid.h, grid.support, cap=slab_cap)
 
-    u = shard_map(body, mesh,
+    u = shard_map(body, mesh=mesh,
                   in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
-                  out_specs=P(axis), check_rep=False)(
+                  out_specs=P(axis), check_vma=False)(
         rs, fs_, rt, grid.khat, grid.phihat, grid.lo)
     return u[:Nt]
 

@@ -663,7 +663,7 @@ def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
     N-body distribution (system.cpp:287-316).
     """
     import numpy as _np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
@@ -692,9 +692,9 @@ def near_apply_plan_sharded(plan: ClusterPlan, payload: jax.Array, a: float,
                                    float(a))
         return jax.lax.psum(u, axis)
 
-    u_cl = shard_map(body, mesh,
+    u_cl = shard_map(body, mesh=mesh,
                      in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
-                     out_specs=P(), check_rep=False)(
+                     out_specs=P(), check_vma=False)(
         rows, srcs, first, plan.src_r, src_f, plan.trg_r)
     return unbin_targets(plan, u_cl)
 

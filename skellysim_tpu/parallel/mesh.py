@@ -29,6 +29,22 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), (FIBER_AXIS,))
 
 
+def put_global(arr, sharding: NamedSharding):
+    """Place a host array under a sharding, multi-host-safe.
+
+    Single-process: plain device_put. Multi-process (pod slices): every
+    process holds the same full host array (the config and precompute npz
+    are replicated inputs, exactly like the reference's rank-0 npz load +
+    Scatterv, periphery.cpp:408-442), so assemble the global jax.Array by
+    handing each addressable shard its slice of the replicated host copy.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def fiber_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(FIBER_AXIS))
 
@@ -40,7 +56,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_block_leaves(block, mesh: Mesh):
     """Place every (B, ...) leaf of a FiberBlock with the batch axis sharded."""
     sh = fiber_batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), block)
+    return jax.tree_util.tree_map(lambda a: put_global(a, sh), block)
 
 
 def shard_shell_state(shell_state, mesh: Mesh):
@@ -54,19 +70,32 @@ def shard_shell_state(shell_state, mesh: Mesh):
     """
     row_sh = NamedSharding(mesh, P(FIBER_AXIS, None))
     rep = replicated(mesh)
+    n_mesh = int(np.prod(mesh.devices.shape))
+    if int(shell_state.M_inv.shape[0]) % n_mesh != 0:
+        # uneven row counts: keep the dense operators replicated rather than
+        # relying on implicit padding semantics (same effect as the
+        # reference running the periphery on fewer ranks than nodes%ranks
+        # allows — correctness first)
+        import logging
+
+        logging.getLogger("skellysim_tpu").warning(
+            "shell rows %d not divisible by mesh size %d: "
+            "replicating dense shell operators",
+            int(shell_state.M_inv.shape[0]), n_mesh)
+        row_sh = rep
     return shell_state.replace(
-        M_inv=jax.device_put(shell_state.M_inv, row_sh),
+        M_inv=put_global(shell_state.M_inv, row_sh),
         # matrix-free shells (A is None) have no dense operator to shard;
         # their apply is a pairwise kernel that GSPMD partitions from the
         # input shardings
-        A=(jax.device_put(shell_state.A, row_sh)
+        A=(put_global(shell_state.A, row_sh)
            if shell_state.A is not None else None),
-        e_sub=(jax.device_put(shell_state.e_sub, rep)
+        e_sub=(put_global(shell_state.e_sub, rep)
                if shell_state.e_sub is not None else None),
-        nodes=jax.device_put(shell_state.nodes, rep),
-        normals=jax.device_put(shell_state.normals, rep),
-        weights=jax.device_put(shell_state.weights, rep),
-        solution=jax.device_put(shell_state.solution, rep),
+        nodes=put_global(shell_state.nodes, rep),
+        normals=put_global(shell_state.normals, rep),
+        weights=put_global(shell_state.weights, rep),
+        solution=put_global(shell_state.solution, rep),
     )
 
 
@@ -102,5 +131,6 @@ def pad_batch_to(block, multiple: int):
         penalty_param=padded.penalty_param.at[B:].set(500.0),
         beta_tstep=padded.beta_tstep.at[B:].set(1.0),
         binding_body=padded.binding_body.at[B:].set(-1),
+        binding_site=padded.binding_site.at[B:].set(-1),
     )
     return padded, B

@@ -133,6 +133,9 @@ class Params:
         self.ewald_near_mxu = g("ewald_near_mxu", False)
         self.ewald_near_poly = g("ewald_near_poly", False)
         self.compat_timestep_clock = g("compat_timestep_clock", False)
+        # device-mesh wiring (the mpirun analogue): int shard count, or
+        # "auto" for jax.device_count(); None runs single-device
+        self.n_devices = g("n_devices", None)
         self.gmres_restart = g("gmres_restart", None)
         self.gmres_warm_start = g("gmres_warm_start", True)
         self.precision = g("precision", "double")
@@ -154,7 +157,8 @@ class System:
     """One simulation: state + the compiled step + trajectory stream."""
 
     def __init__(self, config: dict, output_file: str = "skelly_sim.out",
-                 resume: bool = False, listen: bool = False):
+                 resume: bool = False, listen: bool = False,
+                 n_devices=None):
         self.config = config
         self.params = Params(config.get("params", {}))
         self.time = 0.0
@@ -208,9 +212,80 @@ class System:
         if resume:
             self._resume_from(output_file)
 
+        # Distribution is init's job (reference: fibers are distributed at
+        # System::init with zero user code, system.cpp:632-720,
+        # fiber_container_finite_difference.cpp:95-127). Constructor arg
+        # wins over params.n_devices; both default to single-device.
+        self.mesh = None
+        nd = n_devices if n_devices is not None else self.params.n_devices
+        if nd is not None:
+            self._apply_mesh(nd)
+
         self._step_fn = self._build_step_fn()
         self._collision_fn = self._build_collision_fn()
         self._velocity_fn = self._build_velocity_fn()
+
+    def _apply_mesh(self, n_devices) -> None:
+        """Shard the system state over a device mesh — the mpirun analogue.
+
+        Matches the reference's init-time distribution
+        (system.cpp:632-720): fiber blocks shard on the batch axis
+        (round-robin fiber distribution,
+        fiber_container_finite_difference.cpp:95-127), periphery dense
+        operators row-shard (Scatterv rows, periphery.cpp:408-442), bodies
+        stay replicated (rank-0 residency, body_container.hpp:77-99), and
+        the spectral-Ewald evaluators get the mesh for their sharded
+        far/near applies. Multi-host-safe: parallel/mesh.put_global builds
+        global jax.Arrays from the replicated host config on pods.
+        """
+        from skellysim_tpu.parallel import mesh as pmesh
+
+        if n_devices in ("auto", True):
+            n_devices = jax.device_count()
+        n_devices = int(n_devices)
+        if n_devices <= 1:
+            return
+        self.mesh = pmesh.make_mesh(n_devices)
+        self._mesh_devices = n_devices
+
+        old_sizes = [4 * b.n_fibers * b.n_nodes for b in self.fibers.blocks]
+        old_sol = self.curr_solution
+        self._reshard_fibers()
+
+        # remap the solution vector across the padded per-block layout
+        # (padding appends rows at each block's end, shifting later blocks)
+        new_sizes = [4 * b.n_fibers * b.n_nodes for b in self.fibers.blocks]
+        if new_sizes != old_sizes:
+            sol = np.zeros(self.total_solution_size())
+            oo = no = 0
+            for osz, nsz in zip(old_sizes, new_sizes):
+                sol[no:no + osz] = old_sol[oo:oo + osz]
+                oo += osz
+                no += nsz
+            sol[no:] = old_sol[oo:]
+            self.curr_solution = sol
+
+        if self.shell is not None:
+            self.shell.state = pmesh.shard_shell_state(self.shell.state,
+                                                       self.mesh)
+        if self.params.pair_evaluator == "ewald":
+            stk, st = self._ewald_objects()
+            stk.mesh = st.mesh = self.mesh
+        logger.info("mesh: %d devices (%s); fibers batch-sharded, "
+                    "shell rows sharded, bodies replicated",
+                    n_devices, self.mesh.devices.ravel()[0].platform)
+
+    def _reshard_fibers(self) -> None:
+        """(Re)pad every fiber block to the mesh size and shard its batch
+        axis. Called at init and after dynamic-instability capacity growth
+        (whose grow chunks need not divide the mesh)."""
+        from skellysim_tpu.parallel import mesh as pmesh
+
+        blocks = []
+        for blk in self.fibers.blocks:
+            padded, _ = pmesh.pad_batch_to(blk, self._mesh_devices)
+            blocks.append(pmesh.shard_block_leaves(padded, self.mesh))
+        self.fibers.blocks = blocks
 
     def _log_params(self):
         """Startup parameter dump (Params::print, src/core/params.cpp:82-106)."""
@@ -1072,6 +1147,8 @@ class System:
         """One trial step at the current dt. Returns (fiber_error, converged)."""
         if self.dynamic_instability():
             logger.info("fiber capacity changed; recompiling step")
+            if self.mesh is not None:
+                self._reshard_fibers()
             self._step_fn = self._build_step_fn()
             self._collision_fn = self._build_collision_fn()
             self._velocity_fn = self._build_velocity_fn()

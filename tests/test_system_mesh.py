@@ -1,0 +1,122 @@
+"""Mesh wiring through the public System path (VERDICT r2 item #2).
+
+The reference distributes objects at System::init with zero user code
+(system.cpp:632-720, fiber_container_finite_difference.cpp:95-127) — a
+plain `mpirun skelly_sim` run is distributed. These tests assert the TPU
+analogue: `System(config, n_devices=N)` (or params.n_devices in the TOML)
+shards fiber blocks, periphery operators, and the Ewald evaluators with no
+hand-assembly, and produces the same physics as the single-device run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skellysim_tpu.config import Config, Fiber
+from skellysim_tpu.system import System
+
+
+def _config(n_fibers, n_nodes=8, evaluator="direct", shell_nodes=0,
+            gmres_tol=1e-8):
+    config = Config()
+    config.params.eta = 1.0
+    config.params.dt_initial = 1e-3
+    config.params.gmres_tol = gmres_tol
+    config.params.pair_evaluator = evaluator
+    config.params.ewald_hybrid = False
+    config.params.precision = "double"
+    config.params.fiber_type = "FiniteDifference"
+    rng = np.random.default_rng(3)
+    fibers = []
+    for _ in range(n_fibers):
+        f = Fiber(force_scale=0.2, length=1.0, n_nodes=n_nodes,
+                  bending_rigidity=0.0025)
+        f.fill_node_positions(rng.uniform(-2, 2, size=3),
+                              np.array([0.0, 0.0, 1.0]))
+        fibers.append(f)
+    config.fibers = fibers
+    d = config.to_dict()
+    if shell_nodes:
+        d["periphery"] = {"shape": "sphere", "n_nodes": shell_nodes,
+                          "radius": 12.0, "build_on_device": True}
+    return d
+
+
+def _step_once(system):
+    err, conv = system.step()
+    assert conv
+    return system
+
+
+def _fiber_x(system, n):
+    """Positions of the first n (real) fibers of the single block."""
+    return np.asarray(system.fibers.blocks[0].x)[:n]
+
+
+def test_system_n_devices_arg_matches_unsharded(tmp_path):
+    n_dev = jax.device_count()
+    assert n_dev >= 8, "conftest must provide the 8-device virtual mesh"
+    cfg = _config(6, shell_nodes=160)  # 6 pads to 8; 480 shell rows / 8 ok
+
+    ref = System(_config(6, shell_nodes=160),
+                 output_file=str(tmp_path / "a.out"))
+    _step_once(ref)
+
+    sys_m = System(cfg, output_file=str(tmp_path / "b.out"), n_devices=8)
+    assert sys_m.mesh is not None
+    # padding appended 2 inactive slots to reach the mesh multiple
+    assert sys_m.fibers.blocks[0].n_fibers == 8
+    assert int(np.asarray(sys_m.fibers.blocks[0].active).sum()) == 6
+    # the dense shell operators actually row-sharded
+    from jax.sharding import PartitionSpec as P
+
+    assert sys_m.shell.state.M_inv.sharding.spec == P("fib", None)
+    _step_once(sys_m)
+
+    np.testing.assert_allclose(_fiber_x(sys_m, 6), _fiber_x(ref, 6),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sys_m.shell.state.solution),
+                               np.asarray(ref.shell.state.solution),
+                               rtol=0, atol=1e-12)
+
+
+def test_params_table_n_devices(tmp_path):
+    cfg = _config(4)
+    cfg["params"]["n_devices"] = 8
+    sys_m = System(cfg, output_file=str(tmp_path / "c.out"))
+    assert sys_m.mesh is not None and sys_m.fibers.blocks[0].n_fibers == 8
+    ref = System(_config(4), output_file=str(tmp_path / "d.out"))
+    _step_once(sys_m)
+    _step_once(ref)
+    np.testing.assert_allclose(_fiber_x(sys_m, 4), _fiber_x(ref, 4),
+                               rtol=0, atol=1e-12)
+
+
+def test_system_mesh_ewald_matches_single_device(tmp_path):
+    cfg = _config(16, evaluator="ewald", gmres_tol=1e-6)
+    ref = System(_config(16, evaluator="ewald", gmres_tol=1e-6),
+                 output_file=str(tmp_path / "e.out"))
+    _step_once(ref)
+    sys_m = System(cfg, output_file=str(tmp_path / "f.out"), n_devices=8)
+    stk, st = sys_m._ewald_objects()
+    assert stk.mesh is not None and st.mesh is not None
+    _step_once(sys_m)
+    a, b = _fiber_x(sys_m, 16), _fiber_x(ref, 16)
+    scale = np.abs(b).max()
+    assert np.abs(a - b).max() / scale < 1e-10
+
+
+def test_mesh_survives_warm_start_second_step(tmp_path):
+    """Sharding must persist across steps (outputs of the jitted step feed
+    the next one)."""
+    sys_m = System(_config(6, shell_nodes=160),
+                   output_file=str(tmp_path / "g.out"), n_devices=8)
+    ref = System(_config(6, shell_nodes=160),
+                 output_file=str(tmp_path / "h.out"))
+    for s in (sys_m, ref):
+        _step_once(s)
+        s.time += s.dt
+        _step_once(s)
+    np.testing.assert_allclose(_fiber_x(sys_m, 6), _fiber_x(ref, 6),
+                               rtol=0, atol=1e-12)
