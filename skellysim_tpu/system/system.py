@@ -14,6 +14,7 @@ Solution vector layout (system.cpp:69-90): [fibers (4n per fiber) | shell
 
 from __future__ import annotations
 
+import os
 import json
 import logging
 import time as _walltime
@@ -63,39 +64,13 @@ def select_evaluators(pair_evaluator: str):
 
 
 def _pairlist_total(pts: np.ndarray, lo, r_cut: float) -> int:
-    """Total candidate cluster pairs of the COO pairlist (host replica of
-    ewald_near_cluster.make_plan's bbox test — CT-point target clusters vs
-    CS-point source clusters — including the one synthetic sentinel pair per
-    target row), used to size pair_total from the initial geometry."""
-    from skellysim_tpu.kernels.ewald_near_cluster import CS, CT
+    """Candidate cluster-pair total for capacity sizing — delegates to the
+    plan builder's own counting (ewald_near_cluster.candidate_total) so the
+    estimate can never drift from make_plan's device logic."""
+    from skellysim_tpu.kernels.ewald_near_cluster import candidate_total
 
-    ci = np.clip(((pts - np.asarray(lo)[None, :]) / (r_cut / 4.0)).astype(np.int64),
-                 0, 1023)
-
-    def spread(v):
-        v = (v | (v << 16)) & 0x030000FF
-        v = (v | (v << 8)) & 0x0300F00F
-        v = (v | (v << 4)) & 0x030C30C3
-        v = (v | (v << 2)) & 0x09249249
-        return v
-
-    key = (spread(ci[:, 0]) << 2) | (spread(ci[:, 1]) << 1) | spread(ci[:, 2])
-    ps = pts[np.argsort(key, kind="stable")]
-    n = ps.shape[0]
-
-    def bboxes(Ccl):
-        n_cl = -(-n // Ccl)
-        pad = n_cl * Ccl - n
-        q = np.concatenate([ps, np.full((pad, 3), np.nan)], axis=0)
-        rc = q.reshape(n_cl, Ccl, 3)
-        return np.nanmin(rc, axis=1), np.nanmax(rc, axis=1), n_cl
-
-    s_lo, s_hi, _ = bboxes(CS)
-    t_lo, t_hi, n_tc = bboxes(CT)
-    gap = np.maximum(0.0, np.maximum(s_lo[None, :, :] - t_hi[:, None, :],
-                                     t_lo[:, None, :] - s_hi[None, :, :]))
-    cand = np.sum(gap * gap, axis=-1) <= r_cut * r_cut
-    return int(cand.sum()) + n_tc
+    p = jnp.asarray(pts)
+    return candidate_total(p, p, jnp.asarray(lo, p.dtype), float(r_cut))
 
 
 class Params:
@@ -450,15 +425,44 @@ class System:
         self._curr_solution_dev = value
         self._curr_solution_host = None
 
+    def _auto_gmres_restart(self) -> int:
+        """Memory-aware GMRES restart length ("Num Blocks").
+
+        300 is Belos PseudoBlockGmresSolMgr's default; the Krylov basis is a
+        (restart+1, n) buffer, which at large n dominates HBM (788k DOF f64
+        → 1.9 GB at 300). Cap the basis at ~15% of the device memory limit
+        (the step also holds the state, operators, and Ewald spectra) so big
+        configs run without hand-tuning params.gmres_restart.
+        """
+        n = max(self.total_solution_size(), 1)
+        itemsize = jnp.dtype(self.dtype).itemsize
+        limit = None
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+        except Exception:
+            pass
+        budget = 0.15 * limit if limit else 2e9
+        cap = int(budget // (n * itemsize)) - 1
+        restart = max(30, min(300, cap, n))
+        if restart < min(300, n):
+            logger.info("gmres_restart auto-capped to %d (Krylov basis "
+                        "%.2f GB within the %.1f GB budget); set "
+                        "params.gmres_restart to override", restart,
+                        (restart + 1) * n * itemsize / 1e9, budget / 1e9)
+        return restart
+
     # ---- compiled timestep ----
     def _build_step_fn(self):
         p = self.params
         gmres_tol = p.gmres_tol
         collide_fn = self._build_collision_fn()
-        # 300 = Belos PseudoBlockGmresSolMgr's default restart length ("Num
-        # Blocks"); override to bound the Krylov buffer (restart × n floats)
-        restart = self.params.gmres_restart or min(
-            300, max(30, self.total_solution_size()))
+        # SKELLY_DEBUG_SOLVE=1: per-step RHS/solve diagnostics via
+        # jax.debug.print (norms + non-finite counts) — the tool for
+        # diagnosing degenerate solves on remote chips
+        _debug_solve = bool(os.environ.get("SKELLY_DEBUG_SOLVE"))
+        restart = self.params.gmres_restart or self._auto_gmres_restart()
         warm_start = bool(p.gmres_warm_start)
         eta = p.eta
         delay = p.implicit_motor_activation_delay
@@ -685,6 +689,17 @@ class System:
             if has_bodies:
                 rhs_parts.append(bcont.rhs(body_states, v_all[r_all.shape[0] - Nb:]))
             b_vec = jnp.concatenate(rhs_parts)
+            if _debug_solve:
+                jax.debug.print(
+                    "dbg-rhs: |b|={b:.6e} nonfinite(b)={nb} |v_all|={v:.6e} "
+                    "nonfinite(v)={nv} |f_ext|={fe:.6e}",
+                    b=jnp.linalg.norm(b_vec),
+                    nb=jnp.sum(~jnp.isfinite(b_vec)),
+                    v=jnp.linalg.norm(v_all),
+                    nv=jnp.sum(~jnp.isfinite(v_all)),
+                    fe=jnp.linalg.norm(
+                        jnp.concatenate([f.reshape(-1) for f in f_ext])
+                        if f_ext else jnp.zeros(1)))
 
             # --- matrix-free operator (System::apply_matvec, system.cpp:269-324) ---
             def matvec_impl(x, include_A=True):
@@ -1040,21 +1055,31 @@ class System:
             length_prev = np.array(np.asarray(blk.length_prev))
             v_growth = np.array(np.asarray(blk.v_growth))
             pinned = self._plus_pinned_mask(blk)
+            rows = np.flatnonzero(act)
+            vg = np.where(pinned[rows],
+                          di["v_growth"] * di["v_grow_collision_scale"],
+                          di["v_growth"])
+            f_cat = np.where(pinned[rows],
+                             di["f_catastrophe"]
+                             * di["f_catastrophe_collision_scale"],
+                             di["f_catastrophe"])
+            # ONE batched draw for every active row: numpy's Generator
+            # consumes the PCG64 stream identically to per-row scalar
+            # uniform() calls in row order (test_dynamic_instability pins
+            # this), so trajectories match the reference-style per-fiber
+            # loop (dynamic_instability.cpp:25-80) without O(n_fibers)
+            # interpreter round-trips per step
+            u = self.rng.local.uniform(size=rows.size)
+            died = u > np.exp(-dt * f_cat)
+            surv = rows[~died]
             new_active = act.copy()
-            for row in np.flatnonzero(act):
-                vg = di["v_growth"]
-                f_cat = di["f_catastrophe"]
-                if pinned[row]:
-                    vg *= di["v_grow_collision_scale"]
-                    f_cat *= di["f_catastrophe_collision_scale"]
-                if self.rng.local.uniform() > np.exp(-dt * f_cat):
-                    new_active[row] = False
-                else:
-                    if binding_body[row] >= 0:
-                        occupied.add((int(binding_body[row]), int(binding_site[row])))
-                    length_prev[row] = length[row]
-                    length[row] += dt * vg
-                    v_growth[row] = vg
+            new_active[rows[died]] = False
+            length_prev[surv] = length[surv]
+            length[surv] += dt * vg[~died]
+            v_growth[surv] = vg[~died]
+            bound = surv[binding_body[surv] >= 0]
+            occupied.update(zip(binding_body[bound].tolist(),
+                                binding_site[bound].tolist()))
             self.fibers.blocks[bi] = blk.replace(
                 active=jnp.asarray(new_active),
                 length=jnp.asarray(length), length_prev=jnp.asarray(length_prev),
