@@ -689,17 +689,19 @@ class System:
             if has_bodies:
                 rhs_parts.append(bcont.rhs(body_states, v_all[r_all.shape[0] - Nb:]))
             b_vec = jnp.concatenate(rhs_parts)
+            dbg = None
             if _debug_solve:
-                jax.debug.print(
-                    "dbg-rhs: |b|={b:.6e} nonfinite(b)={nb} |v_all|={v:.6e} "
-                    "nonfinite(v)={nv} |f_ext|={fe:.6e}",
-                    b=jnp.linalg.norm(b_vec),
-                    nb=jnp.sum(~jnp.isfinite(b_vec)),
-                    v=jnp.linalg.norm(v_all),
-                    nv=jnp.sum(~jnp.isfinite(v_all)),
-                    fe=jnp.linalg.norm(
-                        jnp.concatenate([f.reshape(-1) for f in f_ext])
-                        if f_ext else jnp.zeros(1)))
+                # extra step outputs (the axon backend has no host
+                # callbacks, so no jax.debug.print): RHS norm/non-finite
+                # counts per block for remote-chip solve diagnosis
+                dbg = {
+                    "b_norm": jnp.linalg.norm(b_vec),
+                    "b_fib_norm": jnp.linalg.norm(b_vec[:F]),
+                    "b_rest_norm": jnp.linalg.norm(b_vec[F:]),
+                    "b_nonfinite": jnp.sum(~jnp.isfinite(b_vec)),
+                    "v_all_norm": jnp.linalg.norm(v_all),
+                    "v_nonfinite": jnp.sum(~jnp.isfinite(v_all)),
+                }
 
             # --- matrix-free operator (System::apply_matvec, system.cpp:269-324) ---
             def matvec_impl(x, include_A=True):
@@ -809,8 +811,9 @@ class System:
             # step on tunneled backends); body collision pairs stay host-side
             collision = (collide_fn(new_blocks) if collide_fn is not None
                          else jnp.asarray(False))
-            return (new_blocks, new_shell, new_bodies, x_total, err, res.residual,
-                    res.iterations, res.converged, ewald_dropped, collision)
+            out = (new_blocks, new_shell, new_bodies, x_total, err, res.residual,
+                   res.iterations, res.converged, ewald_dropped, collision)
+            return out + (dbg,) if _debug_solve else out
 
         return step_fn
 
@@ -1183,13 +1186,17 @@ class System:
             shell_state = self.shell.state if self.shell else None
             extra = ((self._ewald_state,) if use_ewald else ())
             (blocks, new_shell, new_bodies, sol, err, resid, iters, conv,
-             dropped, collision) = self._step_fn(
+             dropped, collision, *dbg) = self._step_fn(
                 self.fibers.blocks, shell_state, self.bodies.states(),
                 self.point_sources, self.background,
                 jnp.asarray(self.dt, self.dtype),
                 jnp.asarray(self.time, self.dtype),
                 *extra,
             )
+            if dbg:
+                logger.info("debug-solve: %s",
+                            {k: float(v) for k, v in
+                             jax.device_get(dbg[0]).items()})
             # one batched readback of every step scalar — per-scalar pulls
             # each pay a full round trip on tunneled backends
             err, resid_h, iters_h, conv_h, dropped_h, coll_h = jax.device_get(
