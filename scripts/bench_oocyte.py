@@ -95,6 +95,10 @@ def main(argv=None):
                     help="near-field output contractions on the MXU")
     ap.add_argument("--near-poly", action="store_true",
                     help="FMA-only polynomial screened coefficients")
+    ap.add_argument("--matrix-free", action="store_true",
+                    help="device-built matrix-free shell operator + bf16 "
+                         "NS-inverse preconditioner (the >=1e6-point "
+                         "regime: stored dense operators would not fit)")
     ap.add_argument("--workdir", default=".bench_oocyte")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); the env var "
@@ -120,15 +124,20 @@ def main(argv=None):
     cfg = tomlio.load("skelly_config.toml")
 
     t0 = time.perf_counter()
-    from skellysim_tpu.precompute.main import precompute_periphery
-    # mutates cfg["periphery"]["n_nodes"] to the realized mesh size; the
-    # npz itself is cached in the workdir across evaluator A/B runs
-    if os.path.exists("periphery_precompute.npz"):
-        import numpy as np
-        with np.load("periphery_precompute.npz") as z:
-            cfg["periphery"]["n_nodes"] = int(z["nodes"].shape[0])
+    if args.matrix_free:
+        # device-built shell, no stored dense operators, bf16 precond
+        cfg["periphery"]["build_on_device"] = True
+        cfg["periphery"]["matrix_free"] = True
     else:
-        precompute_periphery(cfg)
+        from skellysim_tpu.precompute.main import precompute_periphery
+        # mutates cfg["periphery"]["n_nodes"] to the realized mesh size; the
+        # npz itself is cached in the workdir across evaluator A/B runs
+        if os.path.exists("periphery_precompute.npz"):
+            import numpy as np
+            with np.load("periphery_precompute.npz") as z:
+                cfg["periphery"]["n_nodes"] = int(z["nodes"].shape[0])
+        else:
+            precompute_periphery(cfg)
     print(f"precompute: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     from skellysim_tpu.system.system import System
@@ -162,7 +171,7 @@ def main(argv=None):
         "metric": f"oocyte step wall time ({args.evaluator})",
         "fibers": args.fibers,
         "fiber_nodes": args.fiber_nodes,
-        "shell_nodes": int(cfg["periphery"]["n_nodes"]),
+        "shell_nodes": int(system.shell.state.n_nodes) if system.shell else 0,
         "dof": dof,
         "walls": args.walls,
         "tol": args.tol,

@@ -556,8 +556,31 @@ def factorize(A: jax.Array):
     per step; a right preconditioner only shapes convergence, so its f32
     rounding costs at most an extra iteration, never accuracy.
     (Field names A_lu/A_piv are kept for the cache pytree: A_lu now holds
-    A⁻¹ and A_piv is empty.)"""
-    inv = jax.vmap(jnp.linalg.inv)(A)
+    A⁻¹ and A_piv is empty.)
+
+    Robustness (round-3 chip finding): the BC-applied operator mixes O(1)
+    constraint rows with O((n/L)⁴·κ/dt) interior rows, and TPU XLA's f32
+    LU-based inv() produced Inf/NaN inverses for a handful of such
+    matrices at oocyte scale (5/3000; 2/3000 after row equilibration
+    alone), silently poisoning every solve — where LAPACK's pivoted LU on
+    CPU survives. Build therefore row-equilibrates (A⁻¹ = inv(D·A)·D) and
+    inverts via Householder QR (backward-stable without pivoting, still
+    matmul-rich on the MXU); any remaining non-finite inverse falls back to the
+    equilibration diagonal (Jacobi row scaling) for that fiber — a weaker
+    but finite preconditioner block."""
+    m = A.shape[-1]
+    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=-1), 1e-30)   # (B, 4n)
+    A_eq = A * s[..., :, None]
+
+    def qr_inv(a):
+        q, r = jnp.linalg.qr(a)
+        return jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
+
+    inv = jax.vmap(qr_inv)(A_eq)
+    inv = inv * s[..., None, :]
+    bad = ~jnp.all(jnp.isfinite(inv), axis=(-2, -1))             # (B,)
+    diag_fallback = jnp.eye(m, dtype=A.dtype)[None] * s[..., :, None]
+    inv = jnp.where(bad[:, None, None], diag_fallback, inv)
     return inv, jnp.zeros((A.shape[0], 0), jnp.int32)
 
 

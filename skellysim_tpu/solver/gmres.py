@@ -165,5 +165,18 @@ def gmres(
         outer_cond, outer_body, (x0, jnp.array(0), jnp.asarray(jnp.inf, dtype), b_norm)
     )
     x = jnp.where(b_norm > 0.0, x, jnp.zeros_like(x))
-    rel = res / safe_b_norm
+    # a non-finite RHS must POISON the result, not silently collapse it to
+    # zeros through the b_norm > 0 guard (NaN compares False): callers see
+    # NaN x / NaN residual / converged=False and reject the step, exactly
+    # like a diverged solve
+    b_bad = ~jnp.isfinite(b_norm)
+    x = jnp.where(b_bad, jnp.full_like(x, jnp.nan), x)
+    rel = jnp.where(b_bad, jnp.asarray(jnp.nan, dtype), res / safe_b_norm)
+    # a NaN appearing INSIDE the iteration (e.g. a non-finite matvec or
+    # preconditioner output) zeroes the Givens sine through its
+    # where(denom>0) fallback and would otherwise masquerade as
+    # "residual 0, converged" with a NaN solution — never report a
+    # non-finite x as converged
+    x_ok = jnp.all(jnp.isfinite(x))
+    rel = jnp.where(x_ok, rel, jnp.asarray(jnp.nan, dtype))
     return GmresResult(x=x, residual=rel, iterations=iters, converged=rel <= tol)

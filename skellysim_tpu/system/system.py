@@ -754,6 +754,20 @@ class System:
                     res.append(bcont.precondition(body_states, body_caches, x[FS:]))
                 return jnp.concatenate(res)
 
+            if _debug_solve:
+                # operator probes: A(M(b̂)) must be O(1) and finite — an
+                # exactly-zero or non-finite result here is a backend/kernel
+                # failure inside the jitted step, not a physics state
+                bhat = b_vec / jnp.maximum(jnp.linalg.norm(b_vec), 1e-30)
+                dbg_mb = precond_fn(bhat)
+                dbg_amb = matvec_impl(dbg_mb)
+                dbg.update({
+                    "precond_b_norm": jnp.linalg.norm(dbg_mb),
+                    "precond_b_nonfinite": jnp.sum(~jnp.isfinite(dbg_mb)),
+                    "A_precond_b_norm": jnp.linalg.norm(dbg_amb),
+                    "A_precond_b_nonfinite": jnp.sum(~jnp.isfinite(dbg_amb)),
+                })
+
             if emulated:
                 # Increment-form (iterative-refinement) solve: GMRES finds
                 # δ = s_new − s_prev from the double-word-accurate residual

@@ -99,3 +99,53 @@ def test_gmres_warm_start_already_converged_is_free():
     assert bool(res.converged)
     assert int(res.iterations) == 0
     np.testing.assert_allclose(np.asarray(res.x), x_exact, rtol=1e-7, atol=1e-9)
+
+
+def test_nonfinite_rhs_poisons_result():
+    """A NaN RHS must return NaN x and converged=False — NOT a silent
+    all-zeros 'solution' (the b_norm>0 guard sees NaN as False; the zeroed
+    state then masquerades as physics downstream)."""
+    import numpy as np
+
+    A = jnp.eye(8) * 2.0
+    b = jnp.ones(8).at[3].set(jnp.nan)
+    res = gmres(lambda x: A @ x, b, tol=1e-8, restart=8)
+    assert not bool(res.converged)
+    assert not np.isfinite(float(res.residual))
+    assert np.all(~np.isfinite(np.asarray(res.x)))
+
+
+def test_nonfinite_operator_not_reported_converged():
+    """A preconditioner/matvec that emits NaN mid-iteration must not
+    masquerade as 'residual 0, converged' through the Givens where-fallback
+    (the round-3 oocyte chip failure mode)."""
+    import numpy as np
+
+    A = jnp.eye(8) * 2.0
+    b = jnp.ones(8)
+    res = gmres(lambda x: A @ x, b, tol=1e-8, restart=8,
+                precond=lambda x: x * jnp.nan)
+    assert not bool(res.converged)
+    assert not np.isfinite(float(res.residual))
+
+
+def test_row_equilibrated_fiber_inverse_finite_and_accurate():
+    """factorize() must survive the BC-applied operator's row-scale spread
+    (O(1) constraint rows vs O(1e6+) interior rows): finite inverse,
+    accurate apply."""
+    import numpy as np
+
+    from skellysim_tpu.fibers.fd_fiber import factorize
+
+    rng = np.random.default_rng(3)
+    n = 64
+    # synthetic operator with the failure mode's structure: huge-scale
+    # banded interior rows + O(1) dense constraint rows
+    Ai = np.diag(rng.uniform(1e6, 3e6, n)) + 1e5 * np.diag(np.ones(n - 1), 1)
+    Ai[-7:] = rng.normal(size=(7, n))          # constraint rows, O(1)
+    A = jnp.asarray(Ai[None], jnp.float32)
+    inv, _ = factorize(A)
+    assert np.all(np.isfinite(np.asarray(inv)))
+    x = rng.normal(size=n).astype(np.float32)
+    y = np.asarray(inv[0]) @ (Ai @ x).astype(np.float32)
+    assert np.abs(y - x).max() < 1e-3 * np.abs(x).max()
