@@ -69,9 +69,28 @@ def build_config(args):
                            force_scale=-0.05, minus_clamped=True,
                            n_nodes=args.fiber_nodes)
                      for _ in range(args.fibers)]
-    config.periphery.move_fibers_to_surface(config.fibers, ds_min=0.03,
+    config.periphery.move_fibers_to_surface(config.fibers, ds_min=args.ds_min,
                                             seed=100)
     return config
+
+
+def hbm_stats():
+    """Peak/current HBM use of the first accelerator, if the backend
+    exposes memory_stats (TPU does; CPU returns None)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    gib = 1024 ** 3
+    return {k: round(stats[v] / gib, 3)
+            for k, v in [("hbm_in_use_gib", "bytes_in_use"),
+                         ("hbm_peak_gib", "peak_bytes_in_use"),
+                         ("hbm_limit_gib", "bytes_limit")]
+            if v in stats}
 
 
 def main(argv=None):
@@ -99,6 +118,8 @@ def main(argv=None):
                     help="device-built matrix-free shell operator + bf16 "
                          "NS-inverse preconditioner (the >=1e6-point "
                          "regime: stored dense operators would not fit)")
+    ap.add_argument("--ds-min", type=float, default=0.03,
+                    help="minimum fiber spacing on the periphery surface")
     ap.add_argument("--workdir", default=".bench_oocyte")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); the env var "
@@ -182,6 +203,9 @@ def main(argv=None):
         "fiber_error": float(err),
         "converged": bool(conv),
     }
+    mem = hbm_stats()
+    if mem:
+        out.update(mem)
     print(json.dumps(out))
 
 

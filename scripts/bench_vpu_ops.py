@@ -78,6 +78,14 @@ def _kernel(variant, src_ref, f_ref, trg_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("variant", "reps"))
 def _run(variant, src, f, trg, reps=8):
+    # x64 mode (the repo default) makes the BlockSpec index maps return
+    # i64 pairs that Mosaic cannot legalize — trace with x64 off, exactly
+    # like the production wrappers (pallas_tpu.py:147)
+    with jax.enable_x64(False):
+        return _run_inner(variant, src, f, trg, reps)
+
+
+def _run_inner(variant, src, f, trg, reps):
     n = trg.shape[1]
     kern = functools.partial(_kernel, variant)
 
