@@ -20,6 +20,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -166,6 +167,44 @@ _STOKESLET_FLOPS_PER_PAIR = 30.0
 _STRESSLET_FLOPS_PER_PAIR = 60.0
 
 
+def _bench_oocyte_reference(evaluators=("pallas", "ewald"), timeout_s=2400):
+    """Full-scale oocyte step A/B on the reference's own example config
+    (examples/oocyte/gen_config.py: 3000 fibers, ds_min 0.1, 6000-node
+    revolution shell, periphery interaction OFF) — the flagship
+    'GMRES wall-time per timestep' comparison (BASELINE.md metric 2).
+
+    Runs scripts/bench_oocyte.py as a subprocess per evaluator so a hung
+    compile or downed tunnel cannot take the headline metrics with it.
+    The workdir (precompute npz) and the persistent XLA compile cache make
+    re-runs cheap. Skip with SKELLY_BENCH_OOCYTE=0."""
+    import subprocess
+
+    if os.environ.get("SKELLY_BENCH_OOCYTE", "1") == "0":
+        return {}
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_oocyte.py")
+    workdir = os.environ.get("SKELLY_BENCH_OOCYTE_WORKDIR",
+                             "/tmp/bench_oocyte_ref")
+    out = {}
+    for ev in evaluators:
+        cmd = [sys.executable, script, "--evaluator", ev, "--no-walls",
+               "--ds-min", "0.1", "--shell-nodes", "6000", "--steps", "3",
+               "--workdir", workdir]
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout_s)
+            line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+            out[ev] = json.loads(line) if line.startswith("{") else {
+                "error": (res.stderr or "no output")[-300:]}
+        except subprocess.TimeoutExpired:
+            out[ev] = {"error": f"timeout after {timeout_s}s"}
+        except Exception as e:  # noqa: BLE001 — a bench leg must never abort the run
+            out[ev] = {"error": f"{type(e).__name__}: {e}"}
+        msg = out[ev].get("step_s_median", out[ev].get("error"))
+        print(f"oocyte reference-config [{ev}]: {msg}", file=sys.stderr)
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -287,10 +326,12 @@ def main():
         except Exception as e:
             print(f"crossover sweep failed: {e}", file=sys.stderr)
             crossover = {}
+        oocyte = _bench_oocyte_reference()
     else:
         value, ratio = cpu_rate, 1.0
         mfu_stokeslet = mfu_stresslet = None
         crossover = {}
+        oocyte = {}
 
     print(json.dumps({
         "metric": "pairwise stokeslet interactions/s/chip (f32 on-chip, chained-loop timing, vs f64 XLA-CPU baseline)",
@@ -304,6 +345,7 @@ def main():
             str(k): {kk: (None if vv is None else vv * 1e3)
                      for kk, vv in v.items()}
             for k, v in crossover.items()},
+        "oocyte_reference_config": oocyte,
     }))
 
 

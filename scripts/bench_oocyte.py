@@ -43,7 +43,12 @@ def build_config(args):
     p.precision = args.precision
     p.periphery_interaction_flag = args.walls
     p.gmres_warm_start = args.warm
-    if args.walls:
+    if args.binding:
+        # NOTE: binding + minus-clamped surface fibers is over-constrained
+        # at t=0 — the whole-fiber collision criterion (faithfully matching
+        # fiber_finite_difference.cpp:80-87) marks every surface-clamped
+        # fiber plus-hinged as well. Binding belongs to body-nucleated
+        # configs; it is OFF by default here.
         p.periphery_binding.active = True
         p.periphery_binding.threshold = 0.3
     if args.ewald_a is not None:
@@ -104,7 +109,10 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--precision", default="single")
     ap.add_argument("--no-walls", dest="walls", action="store_false",
-                    help="disable periphery repulsion + binding")
+                    help="disable periphery repulsion")
+    ap.add_argument("--binding", action="store_true",
+                    help="enable periphery plus-end binding (over-constrains "
+                         "surface-clamped fibers; see build_config)")
     ap.add_argument("--no-warm", dest="warm", action="store_false",
                     help="disable the GMRES warm start (Belos x0=0 parity)")
     ap.add_argument("--ewald-a", type=float, default=None)

@@ -64,13 +64,17 @@ def _stokeslet_kernel(src_ref, f_ref, trg_ref, out_ref):
         dy = ty - sy
         dz = tz - sz
         r2 = dx * dx + dy * dy + dz * dz
-        nonzero = r2 > 0.0
-        rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
-        rinv3 = rinv * rinv * rinv
-        df3 = (dx * fx + dy * fy + dz * fz) * rinv3
-        ux = ux + jnp.sum(fx * rinv + df3 * dx, axis=1, keepdims=True)
-        uy = uy + jnp.sum(fy * rinv + df3 * dy, axis=1, keepdims=True)
-        uz = uz + jnp.sum(fz * rinv + df3 * dz, axis=1, keepdims=True)
+        # single select: rsqrt(0)=inf is discarded by the where (a select
+        # never propagates the unpicked lane), so the inner guard the
+        # two-where form paid for is free to drop
+        rinv = jnp.where(r2 > 0.0, jax.lax.rsqrt(r2), 0.0)
+        # factored form: u += (f + (d·f)·rinv²·d)·rinv — three FMAs and a
+        # mul per component instead of the rinv³/df³ expansion (−4 VPU
+        # slots/pair, −1 select/pair vs the original)
+        dfr2 = (dx * fx + dy * fy + dz * fz) * (rinv * rinv)
+        ux = ux + jnp.sum((fx + dfr2 * dx) * rinv, axis=1, keepdims=True)
+        uy = uy + jnp.sum((fy + dfr2 * dy) * rinv, axis=1, keepdims=True)
+        uz = uz + jnp.sum((fz + dfr2 * dz) * rinv, axis=1, keepdims=True)
         return ux, uy, uz
 
     zero = jnp.zeros((trg_ref.shape[1], 1), jnp.float32)
@@ -102,8 +106,9 @@ def _stresslet_kernel(src_ref, s_ref, trg_ref, out_ref):
         dy = ty - sy
         dz = tz - sz
         r2 = dx * dx + dy * dy + dz * dz
-        nonzero = r2 > 0.0
-        rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)), 0.0)
+        # single select (see _stokeslet_kernel): the unpicked inf lane is
+        # dropped by the where, never combined
+        rinv = jnp.where(r2 > 0.0, jax.lax.rsqrt(r2), 0.0)
         rinv2 = rinv * rinv
         rinv5 = rinv2 * rinv2 * rinv
 
