@@ -1,13 +1,32 @@
 #!/bin/bash
-# Trimmed round-2 finale session: the decision-critical measurements only,
-# in priority order (near-variant microbench -> oocyte Ewald A/B -> dense
-# A/B -> headline bench). Logs to $LOGDIR (default /tmp/chip_logs3).
+# SUPERSEDED by chip_session6.sh — kept for the round-2 measurement record.
+# Round-2 finale session, execution order: near-variant microbench (KG=8) ->
+# oocyte Ewald A/B (default, then poly+mxu) -> dense A/B -> near KG=16 ->
+# headline bench. Logs to $LOGDIR (default /tmp/chip_logs3).
+# NOTE (round 3): its oocyte numbers were later found poisoned (see
+# dbfcc47 / VALIDATION.md); the TPU wait loop below was added per ADVICE r2
+# so a downed tunnel can no longer silently produce CPU-fallback numbers.
 set -u
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 LOGDIR=${LOGDIR:-/tmp/chip_logs3}
 WORK=${WORK:-/tmp/bench_oocyte_full}
 mkdir -p "$LOGDIR"
 cd "$REPO"
+
+echo "[chip_session3] waiting for the TPU tunnel..."
+up=0
+for i in $(seq 1 400); do
+    if timeout 180 python -c "import jax; assert any(d.platform != 'cpu' for d in jax.devices())" 2>/dev/null; then
+        echo "[chip_session3] TPU up (attempt $i, $(date +%T))"
+        up=1
+        break
+    fi
+    sleep 90
+done
+if [ "$up" != 1 ]; then
+    echo "[chip_session3] tunnel never came up; exiting without benches"
+    exit 1
+fi
 
 run() { # name timeout cmd...
     local name=$1 tmo=$2; shift 2

@@ -30,6 +30,7 @@ at fixed density, vs O(N²) for the dense evaluators.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -323,11 +324,17 @@ def _es_phi(t, beta):
     return jnp.where(inside, jnp.exp(beta * (arg - 1.0)), 0.0)
 
 
-def _window_normalizer(frac, support, dtype):
-    """Σ_n φ(n−frac) over the point's own W taps (the _window_1d divisor)."""
+def _window_normalizer(frac, support, dtype, wide: bool = False):
+    """Σ_n φ(n−frac) over the point's own W taps (the _window_1d divisor).
+
+    ``wide`` widens the tap range by one on each side — needed when ``frac``
+    is measured from a PREVIOUS step's slab center (plan reuse) and may sit
+    in (−1, 1); for |frac| ≤ 1/2 the extra taps are exact zeros (φ has
+    compact support), so wide and narrow agree on fresh builds."""
     beta = _es_beta(support)
     half = support / 2.0
-    offs = jnp.arange(support, dtype=dtype) - (support // 2)
+    w = int(wide)
+    offs = jnp.arange(support + 2 * w, dtype=dtype) - (support // 2 + w)
     return jnp.sum(_es_phi((offs[None, :] - frac[:, None]) / half, beta),
                    axis=1)
 
@@ -503,9 +510,35 @@ def make_slab_bins(points, lo, h, Gx, support, cap, n_points=None):
     return _slab_bins(points, h, lo, Gx, cap, CP, E, points.dtype, support)
 
 
-@partial(jax.jit, static_argnames=("logical", "support", "cap"))
+def refresh_slab_bins(bins, points, lo, h, support):
+    """Refresh a previous step's slab binning with CURRENT positions: the
+    slab membership/ordering stays (no sorts), the per-point coordinates
+    (rel_y, rel_z, fx, Z) are recomputed fresh. A point may now sit up to
+    one cell from its binned slab's center (caller enforces displacement
+    < h/2 via the skin bound), so fx lands in (−1, 1) — consumers must run
+    their x windows WIDE (spread/interp ``wide=True``), which covers every
+    nonzero tap of the true window and is therefore exact, not an
+    approximation."""
+    (_, _, _, ent_slab, _, valid, order, starts, key, idx_c,
+     cum_chunks) = bins
+    dtype = points.dtype
+    rel = (points - lo[None, :]) / h
+    fx = (rel[:, 0] - key.astype(dtype)).astype(dtype)
+    frac = rel - jnp.floor(rel + 0.5)
+    Z = (_window_normalizer(fx, support, dtype, wide=True)
+         * _window_normalizer(frac[:, 1].astype(dtype), support, dtype)
+         * _window_normalizer(frac[:, 2].astype(dtype), support, dtype))
+    far = jnp.asarray(1e12, dtype)
+    rel_y = jnp.where(valid, rel[:, 1].astype(dtype)[order][idx_c], far)
+    rel_z = jnp.where(valid, rel[:, 2].astype(dtype)[order][idx_c], far)
+    fx_b = jnp.where(valid, fx[order][idx_c], far)
+    return (rel_y, rel_z, fx_b, ent_slab, Z, valid, order, starts, key,
+            idx_c, cum_chunks)
+
+
+@partial(jax.jit, static_argnames=("logical", "support", "cap", "wide"))
 def _spread_slab(points, values, lo, h, logical, support, cap=None,
-                 bins=None):
+                 bins=None, wide: bool = False):
     """Slab-matmul spreading — the MXU formulation of NUFFT type-1.
 
     Points bin by their nearest x-plane ("slab"); the non-empty CP-wide
@@ -527,7 +560,10 @@ def _spread_slab(points, values, lo, h, logical, support, cap=None,
     Gx, Gy, Gz = logical
     beta = _es_beta(support)
     half = support / 2.0
-    W2 = support // 2
+    # wide: ±1 extra x row — required (and exact) with refreshed bins whose
+    # fx is measured from the previous step's slab center (see
+    # refresh_slab_bins); pure zero-padding for fresh bins
+    W2 = support // 2 + int(wide)
     Wn = 2 * W2 + 1
     cap = cap or _slab_cap(N, Gx)
     CP = _slab_CP(cap)
@@ -567,8 +603,9 @@ def _spread_slab(points, values, lo, h, logical, support, cap=None,
     return gridp[:, W2: W2 + Gx]
 
 
-@partial(jax.jit, static_argnames=("support", "cap"))
-def _interp_slab(grids, points, lo, h, support, cap=None, bins=None):
+@partial(jax.jit, static_argnames=("support", "cap", "wide"))
+def _interp_slab(grids, points, lo, h, support, cap=None, bins=None,
+                 wide: bool = False):
     """Slab-matmul interpolation (NUFFT type-2) — transpose of
     ``_spread_slab``: per ragged entry, read grid rows [slab, slab+Wn)
     (one dynamic slice) and contract against the dense y/z windows as
@@ -579,7 +616,7 @@ def _interp_slab(grids, points, lo, h, support, cap=None, bins=None):
     N = points.shape[0]
     beta = _es_beta(support)
     half = support / 2.0
-    W2 = support // 2
+    W2 = support // 2 + int(wide)   # see _spread_slab: ±1 x row under reuse
     Wn = 2 * W2 + 1
     cap = cap or _slab_cap(N, Gx)
     CP = _slab_CP(cap)
@@ -767,19 +804,23 @@ def _use_slab() -> bool:
     """Scatter-add/flat-gather on CPU (fast there); slab-matmul spread and
     interp on accelerators — the axon TPU backend lacks large scatters, and
     per-element gathers crawl, while batched banded-window matmuls are
-    MXU-native."""
+    MXU-native. SKELLY_SLAB=1/0 overrides (tests exercise the slab path —
+    the only one supporting far-plan reuse — on the CPU suite)."""
+    env = os.environ.get("SKELLY_SLAB")
+    if env is not None:
+        return env != "0"
     return jax.default_backend() != "cpu"
 
 
 def far_field_apply(grid: EwaldGrid, r_src, f_src, r_trg, slab_cap=None,
-                    bins_src=None, bins_trg=None):
+                    bins_src=None, bins_trg=None, wide: bool = False):
     if _use_slab():
         L = tuple(grid.logical)
         glog = _spread_slab(r_src, f_src, grid.lo, grid.h, L, grid.support,
-                            cap=slab_cap, bins=bins_src)
+                            cap=slab_cap, bins=bins_src, wide=wide)
         u_log = _far_convolve_logical(glog, grid.khat, grid.shape, L)
         return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support,
-                            cap=slab_cap, bins=bins_trg)
+                            cap=slab_cap, bins=bins_trg, wide=wide)
     grids = _spread_scatter(r_src, f_src, grid.lo, grid.h, grid.sigma,
                             grid.shape, grid.support)
     u_grids = _far_convolve(grids, grid.khat)
@@ -867,7 +908,7 @@ def far_field_apply_sharded(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
 
 
 def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg, slab_cap=None,
-                        bins_src=None, bins_trg=None):
+                        bins_src=None, bins_trg=None, wide: bool = False):
     """Grid far field of the stresslet with densities S (N,3,3); only the
     symmetric part couples (T is symmetric in its density indices)."""
     D = jnp.stack([S[:, 0, 0],
@@ -879,12 +920,12 @@ def far_stresslet_apply(grid: EwaldGrid, r_src, S, r_trg, slab_cap=None,
     if _use_slab():
         L = tuple(grid.logical)
         D_log = _spread_slab(r_src, D, grid.lo, grid.h, L, grid.support,
-                             cap=slab_cap, bins=bins_src)
+                             cap=slab_cap, bins=bins_src, wide=wide)
         u_log = _far_stresslet_convolve_logical(D_log, grid.khat,
                                                 grid.phihat, grid.shape,
                                                 L, grid.h)
         return _interp_slab(u_log, r_trg, grid.lo, grid.h, grid.support,
-                            cap=slab_cap, bins=bins_trg)
+                            cap=slab_cap, bins=bins_trg, wide=wide)
     D_grids = _spread_scatter(r_src, D, grid.lo, grid.h, grid.sigma,
                               grid.shape, grid.support)
     u_grids = _far_stresslet_convolve(D_grids, grid.khat, grid.phihat,
@@ -1043,17 +1084,18 @@ class EwaldStokeslet:
         (HTTP 413 on the tunneled TPU) and every backend bloats."""
         return {"khat": self.grid.khat, "phihat": self.grid.phihat}
 
-    def make_near_plan(self, r_src, r_trg):
+    def make_near_plan(self, r_src, r_trg, skin: float = 0.0):
         """Positions-only cluster pairlist (ClusterPlan). Positions are
         fixed for a whole timestep, so the System builds this once per step
         and shares it across every GMRES iteration; ``plan.dropped`` counts
-        pairlist overflow."""
+        pairlist overflow. A nonzero ``skin`` widens the candidate test so
+        the plan survives across steps (see refresh_plans)."""
         from skellysim_tpu.kernels.ewald_near_cluster import make_plan
 
         dt = self.dtype
         return make_plan(r_src.astype(dt), r_trg.astype(dt),
                          jnp.asarray(self.lo, dt), self.r_cut,
-                         self.pair_total)
+                         self.pair_total, skin=float(skin))
 
     def make_far_plan(self, r_src, r_trg):
         """Positions-only slab binnings (sources for spread, targets for
@@ -1072,9 +1114,31 @@ class EwaldStokeslet:
                 make_slab_bins(r_trg.astype(dt), g.lo, g.h, Gx, g.support,
                                cap))
 
+    def refresh_plans(self, plan, far_plan, r_src, r_trg):
+        """Verlet-list reuse: rebind a PREVIOUS step's plans to CURRENT
+        positions with gathers only (no sorts). Exact while every point has
+        moved < skin/2 since the near plan's build and < h/2 since the far
+        plan's (the caller enforces the tighter of the two and runs the far
+        windows wide). Applies consuming refreshed far bins MUST pass
+        wide=True to apply_with."""
+        from skellysim_tpu.kernels.ewald_near_cluster import refresh_stores
+
+        dt = self.dtype
+        plan = refresh_stores(plan, r_src.astype(dt), r_trg.astype(dt))
+        if far_plan is not None:
+            g = self.grid
+            far_plan = (refresh_slab_bins(far_plan[0], r_src.astype(dt),
+                                          g.lo, g.h, g.support),
+                        refresh_slab_bins(far_plan[1], r_trg.astype(dt),
+                                          g.lo, g.h, g.support))
+        return plan, far_plan
+
     def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0, plan=None,
-                   far_plan=None):
-        """``apply`` with the spectra passed explicitly (see ``spectra``)."""
+                   far_plan=None, wide: bool = False):
+        """``apply`` with the spectra passed explicitly (see ``spectra``).
+        ``wide`` (static) runs the far-field x windows one row wider —
+        required with refreshed far bins, exact (zero-padding) with fresh
+        ones."""
         from skellysim_tpu.kernels.ewald_near_cluster import near_apply_plan
 
         from skellysim_tpu.kernels.ewald_near_cluster import (
@@ -1098,7 +1162,8 @@ class EwaldStokeslet:
                 else (None, None)
             u_far = far_field_apply(grid, r_src.astype(dt), f_src.astype(dt),
                                     r_trg.astype(dt), slab_cap=self.slab_cap,
-                                    bins_src=bins_src, bins_trg=bins_trg)
+                                    bins_src=bins_src, bins_trg=bins_trg,
+                                    wide=wide)
             u_near = near_apply_plan(
                 plan, f_src.astype(dt), self.a, kind="stokeslet",
                 mxu=self.near_mxu,
@@ -1165,20 +1230,22 @@ class EwaldStresslet:
         """See ``EwaldStokeslet.spectra``."""
         return {"khat": self.grid.khat, "phihat": self.grid.phihat}
 
-    def make_near_plan(self, r_src, r_trg):
+    def make_near_plan(self, r_src, r_trg, skin: float = 0.0):
         """See ``EwaldStokeslet.make_near_plan``."""
         from skellysim_tpu.kernels.ewald_near_cluster import make_plan
 
         dt = self.dtype
         return make_plan(r_src.astype(dt), r_trg.astype(dt),
                          jnp.asarray(self.lo, dt), self.r_cut,
-                         self.pair_total)
+                         self.pair_total, skin=float(skin))
 
     make_far_plan = EwaldStokeslet.make_far_plan
+    refresh_plans = EwaldStokeslet.refresh_plans
 
     def apply_with(self, spectra, r_src, S, r_trg, eta=1.0, plan=None,
-                   far_plan=None):
-        """``apply`` with the spectra passed explicitly (see ``spectra``)."""
+                   far_plan=None, wide: bool = False):
+        """``apply`` with the spectra passed explicitly (see ``spectra``);
+        ``wide`` as in ``EwaldStokeslet.apply_with``."""
         from skellysim_tpu.kernels.ewald_near_cluster import near_apply_plan
 
         from skellysim_tpu.kernels.ewald_near_cluster import (
@@ -1210,7 +1277,8 @@ class EwaldStresslet:
             u_far = far_stresslet_apply(grid, r_src.astype(dt),
                                         S.astype(dt), r_trg.astype(dt),
                                         slab_cap=self.slab_cap,
-                                        bins_src=bins_src, bins_trg=bins_trg)
+                                        bins_src=bins_src, bins_trg=bins_trg,
+                                        wide=wide)
             u_near = near_apply_plan(
                 plan, payload, self.a, kind="stresslet",
                 poly_cut=self.r_cut if self.near_poly else None)

@@ -168,9 +168,11 @@ class ClusterPlan(NamedTuple):
     and ``first`` (first-group-of-this-row-in-this-chunk flag) are per
     KG-group — every group's KG pairs share one target row by construction.
     ``trg_inv``: inverse permutation scattering per-cluster results back to
-    point order. ``dropped``: pair-list overflow count — nonzero means
-    candidate pairs were LOST and the evaluation is wrong; callers regrow
-    the list.
+    point order. ``trg_order``: the target Morton sort permutation —
+    ``refresh_stores`` re-bins CURRENT positions through it so a plan built
+    with a skin margin outlives the step it was built on (Verlet-list
+    reuse). ``dropped``: pair-list overflow count — nonzero means candidate
+    pairs were LOST and the evaluation is wrong; callers regrow the list.
     """
 
     src_r: jax.Array      # (n_sc+1, 3, C)
@@ -180,6 +182,7 @@ class ClusterPlan(NamedTuple):
     srcs: jax.Array       # (n_chunks, CHUNK) int32, per pair
     first: jax.Array      # (n_chunks, CHUNK//KG) int32 (0/1), per group
     trg_inv: jax.Array    # (N_t,) flat index into (n_tc*C)
+    trg_order: jax.Array  # (N_t,)
     dropped: jax.Array    # () int32
 
 
@@ -236,7 +239,7 @@ def _candidate_matrix(s_lo, s_hi, t_lo, t_hi, r_cut):
     return jnp.sum(gap * gap, axis=-1) <= r_cut * r_cut   # (n_tc, n_sc)
 
 
-def candidate_total(r_src, r_trg, lo, r_cut) -> int:
+def candidate_total(r_src, r_trg, lo, r_cut, skin: float = 0.0) -> int:
     """Candidate cluster-pair total (including the one synthetic sentinel
     pair per target row) of the plan make_plan would build for this
     geometry — the capacity-sizing primitive. Shares _clusterize and the
@@ -247,18 +250,23 @@ def candidate_total(r_src, r_trg, lo, r_cut) -> int:
     cell = r_cut / 4.0
     _, _, s_lo, s_hi = _clusterize(r_src.astype(dtype), lo, cell, CS)
     _, _, t_lo, t_hi = _clusterize(r_trg.astype(dtype), lo, cell, CT)
-    cand = _candidate_matrix(s_lo, s_hi, t_lo, t_hi, r_cut)
+    cand = _candidate_matrix(s_lo, s_hi, t_lo, t_hi, r_cut + skin)
     return int(jnp.sum(cand)) + int(t_lo.shape[0])
 
 
-@partial(jax.jit, static_argnames=("pair_total",))
-def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
+@partial(jax.jit, static_argnames=("pair_total", "skin"))
+def make_plan(r_src, r_trg, lo, r_cut, pair_total: int,
+              skin: float = 0.0) -> ClusterPlan:
     """Build the cluster pairlist (positions only).
 
     ``lo`` anchors the Morton grid (any point ≤ the geometry minimum);
     ``r_cut`` is the interaction cutoff (Morton cells are r_cut/4);
     ``pair_total`` (static) is the COO list capacity — candidate pairs
-    beyond it are dropped AND counted.
+    beyond it are dropped AND counted. ``skin`` (static) widens the
+    candidate test to r_cut+skin: as long as no point has moved more than
+    skin/2 since the build, every pair now within r_cut is still on the
+    list, so the plan can be reused across timesteps (Verlet list) after a
+    ``refresh_stores`` — the caller checks the displacement bound.
     """
     dtype = r_trg.dtype
     cell = r_cut / 4.0
@@ -269,7 +277,7 @@ def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
     n_sc = src_rc.shape[0]
     n_tc = trg_rc.shape[0]
 
-    cand = _candidate_matrix(s_lo, s_hi, t_lo, t_hi, r_cut)
+    cand = _candidate_matrix(s_lo, s_hi, t_lo, t_hi, r_cut + skin)
 
     # prepend an always-true sentinel column: every row then has ≥1 pair,
     # which keeps each chunk's touched rows a CONTIGUOUS range (the
@@ -331,7 +339,36 @@ def make_plan(r_src, r_trg, lo, r_cut, pair_total: int) -> ClusterPlan:
     trg_inv = jnp.argsort(t_order)        # point p lives at flat slot inv[p]
     return ClusterPlan(src_r=src_r, src_order=s_order, trg_r=trg_r,
                        rows=rows_ch, srcs=srcs_ch, first=first_ch,
-                       trg_inv=trg_inv, dropped=dropped)
+                       trg_inv=trg_inv, trg_order=t_order, dropped=dropped)
+
+
+def _pack_stores(points, order, C):
+    """Re-bin CURRENT positions through a build-time sort permutation:
+    (N, 3) → (n_cl+1, 3, C) cluster stores with sentinel padding + the
+    all-sentinel trailing cluster (exactly _clusterize's packing minus the
+    sort)."""
+    n = points.shape[0]
+    n_cl = -(-n // C)
+    pad = n_cl * C - n
+    dtype = points.dtype
+    r_sorted = jnp.concatenate(
+        [points[order], jnp.full((pad, 3), _SENTINEL, dtype)], axis=0)
+    rc = r_sorted.reshape(n_cl, C, 3).transpose(0, 2, 1)
+    return jnp.concatenate(
+        [rc, jnp.full((1, 3, C), _SENTINEL, dtype)], axis=0)
+
+
+def refresh_stores(plan: ClusterPlan, r_src, r_trg) -> ClusterPlan:
+    """Rebuild the position stores of a (possibly previous-step) plan from
+    CURRENT positions — two gathers, no sorts. Exact as long as every point
+    has moved less than skin/2 since the plan was built (the pairlist then
+    still covers every pair within r_cut; the extra candidate pairs carry
+    their true — tail-sized — screened contribution, same as the bbox
+    slack pairs a fresh build admits)."""
+    dtype = plan.src_r.dtype
+    return plan._replace(
+        src_r=_pack_stores(r_src.astype(dtype), plan.src_order, CS),
+        trg_r=_pack_stores(r_trg.astype(dtype), plan.trg_order, CT))
 
 
 def bin_payload(plan: ClusterPlan, payload: jax.Array) -> jax.Array:

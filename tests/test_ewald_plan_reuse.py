@@ -1,0 +1,149 @@
+"""Verlet-list plan reuse for the spectral-Ewald evaluators (round 3).
+
+The per-step pairlist/binning builds (Morton argsorts, slab sorts,
+searchsorted expansion) are a ~0.3 s fixed cost per oocyte step on a v5e —
+the measured gap between the ewald and dense evaluators at 1e5 points.
+A plan built with a skin margin stays EXACT while no point has moved more
+than skin/2 (near pairlist: candidates at r_cut+skin cover every pair now
+within r_cut; far slabs: the widened x window covers every nonzero tap of
+the true ES window), so the System can rebuild plans every ~30 steps
+instead of every step. These tests pin the exactness claims at the kernel
+level; test_ewald_system.py covers the System wiring.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("SKELLY_SLAB", "1")   # far-plan reuse = slab path only
+
+import jax
+import jax.numpy as jnp
+
+from skellysim_tpu.kernels import reference
+from skellysim_tpu.kernels.ewald import EwaldStokeslet, EwaldStresslet
+from skellysim_tpu.kernels.ewald_near_cluster import (
+    candidate_total, make_plan, near_apply_plan, refresh_stores)
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(7)
+    n = 700
+    r = jnp.asarray(rng.uniform(0.3, 3.7, (n, 3)), jnp.float64)
+    f = jnp.asarray(rng.normal(size=(n, 3)), jnp.float64)
+    return r, f
+
+
+def _stokeslet_ev(**kw):
+    return EwaldStokeslet(lo=[0, 0, 0], hi=[4, 4, 4], a=0.25,
+                          points_per_a=3.0, dtype=jnp.float64, **kw)
+
+
+def test_near_refresh_matches_fresh_build(cloud):
+    """Moving every point < skin/2 and refreshing the stores gives the same
+    near field as applying the ORIGINAL-geometry plan to the new positions
+    would require: compare against a fresh skin-plan built on the new
+    positions (identical candidate horizon ⇒ identical physics)."""
+    r, f = cloud
+    ev = _stokeslet_ev()
+    skin = 0.3 * ev.r_cut
+    lo = jnp.asarray(ev.lo, r.dtype)
+    total = candidate_total(r, r, lo, ev.r_cut, skin=skin) + 64
+
+    plan0 = make_plan(r, r, lo, ev.r_cut, total, skin=skin)
+    rng = np.random.default_rng(8)
+    dr = jnp.asarray(rng.uniform(-1, 1, r.shape), r.dtype)
+    dr = dr / jnp.linalg.norm(dr, axis=1, keepdims=True) * (0.45 * skin)
+    r2 = r + dr
+
+    u_reuse = near_apply_plan(refresh_stores(plan0, r2, r2), f, ev.a,
+                              kind="stokeslet")
+    # ground truth at the SAME candidate horizon: a fresh skin-plan built
+    # on the moved positions. (A no-skin plan differs by the true erfc
+    # tail of the extra r_cut..r_cut+skin pairs — ~2e-7 here — i.e. the
+    # reused plan is slightly MORE accurate, not less.)
+    t2 = candidate_total(r2, r2, lo, ev.r_cut, skin=skin) + 64
+    u_fresh = near_apply_plan(make_plan(r2, r2, lo, ev.r_cut, t2, skin=skin),
+                              f, ev.a, kind="stokeslet")
+    scale = float(jnp.max(jnp.abs(u_fresh)))
+    assert float(jnp.max(jnp.abs(u_reuse - u_fresh))) < 1e-8 * scale
+    assert int(plan0.dropped) == 0
+
+
+def test_far_wide_window_is_exact_zero_padding(cloud):
+    """wide=True on FRESH bins must be bit-class identical to narrow: the
+    extra x taps sit outside the ES window's compact support."""
+    r, f = cloud
+    ev = _stokeslet_ev()
+    sp = ev.spectra()
+    plan = ev.make_near_plan(r, r)
+    far = ev.make_far_plan(r, r)
+    assert far is not None, "slab path must be active (SKELLY_SLAB=1)"
+    u_n = ev.apply_with(sp, r, f, r, plan=plan, far_plan=far, wide=False)
+    u_w = ev.apply_with(sp, r, f, r, plan=plan, far_plan=far, wide=True)
+    scale = float(jnp.max(jnp.abs(u_n)))
+    assert float(jnp.max(jnp.abs(u_w - u_n))) < 1e-13 * scale
+
+
+def test_full_apply_reuse_matches_rebuild(cloud):
+    """End-to-end evaluator check: build plans, move points < min(skin/2,
+    h/2), refresh, apply wide — must match a full per-step rebuild to the
+    evaluator's own accuracy class, and stay within the dense oracle's
+    error budget."""
+    r, f = cloud
+    ev = _stokeslet_ev()
+    skin = min(0.3 * ev.r_cut, 0.9 * float(ev.grid.h))
+    sp = ev.spectra()
+    plan0 = ev.make_near_plan(r, r, skin=skin)
+    far0 = ev.make_far_plan(r, r)
+
+    rng = np.random.default_rng(9)
+    dr = jnp.asarray(rng.uniform(-1, 1, r.shape), r.dtype)
+    dr = dr / jnp.linalg.norm(dr, axis=1, keepdims=True) * (0.45 * skin)
+    r2 = r + dr
+
+    plan_r, far_r = ev.refresh_plans(plan0, far0, r2, r2)
+    u_reuse = ev.apply_with(sp, r2, f, r2, plan=plan_r, far_plan=far_r,
+                            wide=True)
+    u_rebuild = ev.apply_with(sp, r2, f, r2,
+                              plan=ev.make_near_plan(r2, r2, skin=skin),
+                              far_plan=ev.make_far_plan(r2, r2))
+    scale = float(jnp.max(jnp.abs(u_rebuild)))
+    assert float(jnp.max(jnp.abs(u_reuse - u_rebuild))) < 1e-8 * scale
+
+    u_dense = reference.stokeslet_apply(r2, f, r2, 1.0)
+    rel = float(jnp.linalg.norm(u_reuse - u_dense)
+                / jnp.linalg.norm(u_dense))
+    assert rel < 5e-6   # the f64 evaluator class (points_per_a=3)
+
+
+def test_stresslet_reuse_matches_rebuild(cloud):
+    r, f = cloud
+    rng = np.random.default_rng(10)
+    nrm = jnp.asarray(rng.normal(size=r.shape), r.dtype)
+    S = nrm[:, :, None] * f[:, None, :]
+    ev = EwaldStresslet(lo=[0, 0, 0], hi=[4, 4, 4], a=0.25,
+                        points_per_a=3.0, dtype=jnp.float64)
+    skin = min(0.3 * ev.r_cut, 0.9 * float(ev.grid.h))
+    sp = ev.spectra()
+    plan0 = ev.make_near_plan(r, r, skin=skin)
+    far0 = ev.make_far_plan(r, r)
+    dr = jnp.asarray(rng.uniform(-1, 1, r.shape), r.dtype)
+    dr = dr / jnp.linalg.norm(dr, axis=1, keepdims=True) * (0.45 * skin)
+    r2 = r + dr
+
+    plan_r, far_r = ev.refresh_plans(plan0, far0, r2, r2)
+    u_reuse = ev.apply_with(sp, r2, S, r2, plan=plan_r, far_plan=far_r,
+                            wide=True)
+    u_rebuild = ev.apply_with(sp, r2, S, r2,
+                              plan=ev.make_near_plan(r2, r2, skin=skin),
+                              far_plan=ev.make_far_plan(r2, r2))
+    scale = float(jnp.max(jnp.abs(u_rebuild)))
+    assert float(jnp.max(jnp.abs(u_reuse - u_rebuild))) < 1e-8 * scale
+
+    u_dense = reference.stresslet_apply(r2, S, r2, 1.0)
+    rel = float(jnp.linalg.norm(u_reuse - u_dense)
+                / jnp.linalg.norm(u_dense))
+    assert rel < 5e-6
