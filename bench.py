@@ -206,6 +206,11 @@ def _bench_oocyte_reference(evaluators=("pallas", "ewald"), timeout_s=2400):
 
 
 def main():
+    # --quick / SKELLY_BENCH_OOCYTE=0 skips the two oocyte subprocesses
+    # (up to ~40 min cold). They stay ON by default because the unattended
+    # driver run must record the coupled A/B in BENCH_r{N}.json.
+    if "--quick" in sys.argv[1:]:
+        os.environ["SKELLY_BENCH_OOCYTE"] = "0"
     import jax
     import jax.numpy as jnp
 

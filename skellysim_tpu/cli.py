@@ -14,6 +14,21 @@ import os
 import sys
 
 
+def _n_devices_arg(value):
+    """argparse type for --n-devices: 'auto' or a positive int."""
+    if value == "auto":
+        return value
+    try:
+        n = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--n-devices must be 'auto' or an integer, got {value!r}")
+    if n < 1:
+        raise argparse.ArgumentTypeError(
+            f"--n-devices must be >= 1, got {n}")
+    return n
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="skellysim_tpu")
     ap.add_argument("--config-file", default="skelly_config.toml")
@@ -30,7 +45,7 @@ def main(argv=None) -> int:
                          "and shard the system over every device "
                          "(coordinator/process env auto-detected on TPU pods; "
                          "the mpirun replacement — see scripts/skelly_sim_tpu_pod.sh)")
-    ap.add_argument("--n-devices", default=None,
+    ap.add_argument("--n-devices", default=None, type=_n_devices_arg,
                     help="shard the system over this many local devices "
                          "('auto' = all); implied by --distributed")
     ap.add_argument("--profile-dir", default=None,
@@ -82,8 +97,6 @@ def main(argv=None) -> int:
     n_devices = args.n_devices
     if n_devices is None and args.distributed:
         n_devices = "auto"
-    elif n_devices is not None and n_devices != "auto":
-        n_devices = int(n_devices)
     system = System(config, resume=args.resume, listen=args.listen,
                     n_devices=n_devices)
     if args.listen:
