@@ -132,12 +132,17 @@ class EwaldGrid(NamedTuple):
     shape: tuple           # (3,) logical grid points
     sigma: float           # spreading-window std dev
     support: int           # window width in cells (odd)
-    khat: jax.Array        # (2, 6, *fft_shape) far-kernel spectrum, stacked
-                           # [real, imag] floats (complex device transfers
-                           # are unimplemented on some backends; the complex
-                           # view is built on device)
+    khat: tuple            # 6 × (*fft_shape) far-kernel spectra, REAL floats
+                           # (xx,xy,xz,yy,yz,zz). Every tabulated component
+                           # is even or odd per axis, so its DFT is purely
+                           # real (odd axes pair up: i² = −1); the seam
+                           # taper kills the unpaired Nyquist samples to
+                           # ~1e-12, making the real part exact. Half the
+                           # storage of a complex spectrum, and the
+                           # convolve's khat·f̂ products are real×complex.
     a: float
-    phihat: jax.Array = None  # (2, *fft_shape) blob pressure potential spectrum
+    phihat: jax.Array = None  # (*fft_shape) blob pressure potential
+                              # spectrum, real (even kernel)
     logical: tuple = None  # (3,) occupied (unpadded) grid extent
 
 
@@ -157,53 +162,133 @@ def _round_up_fft(n: int) -> int:
     return best
 
 
-@partial(jax.jit, static_argnames=("a",))
-def _tabulate_spectra(a, axx, axy, axz, tx, ty, tz, wkx, wky, wkz):
-    """Device-side tabulation of the deconvolved far-kernel spectra.
-
-    All 3-D work (S_far/φ tabulation on the padded grid, the seam taper,
-    six+one rFFTs, window deconvolution) runs where the evaluator will run;
-    only the 1-D axis offsets, tapers, and window spectra are inputs. This
-    matters on remote accelerators: the stacked spectra are tens of MB,
-    the 1-D inputs are KB.
-    """
-    X = axx[:, None, None]
-    Y = axy[None, :, None]
-    Z = axz[None, None, :]
+def _kernel_component(idx, a, X, Y, Z):
+    """idx-th far-kernel component on an offset grid: 0..5 the screened
+    stokeslet S_far (xx,xy,xz,yy,yz,zz), 6 the blob pressure potential
+    φ = erf(ρ)/(4πr) + e^{−ρ²}/(4π^{3/2}a) completing the screened
+    stresslet T_far = ∂S_far + ∂S_far + δ ∂φ (see stresslet_far_coeffs)."""
     r2 = X * X + Y * Y + Z * Z
     r = jnp.sqrt(r2)
     rho = r / a
     rsafe = jnp.where(r > 0, r, 1.0)
+    if idx == 6:
+        return jnp.where(rho < 1e-12, 3.0 / (4.0 * math.pi**1.5 * a),
+                         jax.lax.erf(rho) / (4.0 * math.pi * rsafe)
+                         + jnp.exp(-rho * rho) / (4.0 * math.pi**1.5 * a))
     erf_term = jnp.where(rho < 1e-12, 1.0 / (4.0 * math.pi**1.5 * a),
                          _INV_8PI * jax.lax.erf(rho) / rsafe)
     gauss = jnp.exp(-rho * rho) * (_INV_4PI32 / a)
-    f = erf_term + gauss
     g_r2 = (erf_term - gauss) / jnp.where(r2 > 0, r2, 1.0)
     g_r2 = jnp.where(r2 > 0, g_r2, 0.0)
-    T3 = tx[:, None, None] * ty[None, :, None] * tz[None, None, :]
-    wk2 = (wkx[:, None, None] * wky[None, :, None] * wkz[None, None, :]) ** 2
-    # modes where the window has no support are unresolvable: zero them
-    # rather than amplifying into overflow
-    keep = jnp.abs(wk2) > 1e-9
-    wk2s = jnp.where(keep, wk2, 1.0)
+    A, B = [(X, X), (X, Y), (X, Z), (Y, Y), (Y, Z), (Z, Z)][idx]
+    out = g_r2 * A * B
+    if idx in (0, 3, 5):
+        # at r = 0: g → 0 smoothly, diagonal → f_far(0)
+        out = out + erf_term + gauss
+    return out
 
-    def dec(Kc):
-        kh = jnp.fft.rfftn(Kc * T3)
-        return jnp.where(keep, kh / wk2s, 0.0)
 
-    # at r = 0: g → 0 smoothly, diagonal → f_far(0)
-    comps = [dec(f + g_r2 * X * X), dec(g_r2 * X * Y), dec(g_r2 * X * Z),
-             dec(f + g_r2 * Y * Y), dec(g_r2 * Y * Z), dec(f + g_r2 * Z * Z)]
-    khat = jnp.stack(comps)
-    # blob pressure potential φ = erf(ρ)/(4πr) + e^{−ρ²}/(4π^{3/2}a): the
-    # scalar completing the screened stresslet T_far = ∂S_far + ∂S_far
-    # + δ ∂φ (see stresslet_far_coeffs); φ(0) = 3/(4π^{3/2}a)
-    phi = jnp.where(rho < 1e-12, 3.0 / (4.0 * math.pi**1.5 * a),
-                    jax.lax.erf(rho) / (4.0 * math.pi * rsafe)
-                    + jnp.exp(-rho * rho) / (4.0 * math.pi**1.5 * a))
-    phihat = dec(phi)
-    return (jnp.stack([khat.real, khat.imag]),
-            jnp.stack([phihat.real, phihat.imag]))
+@partial(jax.jit, static_argnames=("a", "idx", "n_chunks", "m_chunks"))
+def _tabulate_component(a, idx, axx, axy, axz, tx, ty, tz, wkx, wky, wkz,
+                        n_chunks=1, m_chunks=1):
+    """Device-side tabulation of ONE deconvolved far-kernel spectrum.
+
+    All 3-D work (kernel tabulation on the padded grid, the seam taper,
+    the rFFT, window deconvolution) runs where the evaluator will run;
+    only the 1-D axis offsets, tapers, and window spectra are inputs. This
+    matters on remote accelerators: the spectra are GB-scale at 1e6-point
+    grids, the 1-D inputs are KB.
+
+    Memory discipline (the round-3 1M-point OOM was ~20 co-resident
+    full-grid FFT temps, docs/chip_logs/r3c/oocyte_1m.err): components are
+    tabulated ONE AT A TIME (separate jit calls free each component's
+    temps), the z/y transforms stream over x-slabs (``n_chunks``), the x
+    transform + deconvolution stream over y-slabs (``m_chunks``), and only
+    the REAL part is kept — every component is even or odd per axis, so
+    its DFT is real up to the taper-killed Nyquist samples (~1e-12).
+    """
+    comp_dt = axx.dtype
+    Gx, Gy, Gz = axx.shape[0], axy.shape[0], axz.shape[0]
+    Gzr = Gz // 2 + 1
+    cdt = jnp.complex128 if comp_dt == jnp.float64 else jnp.complex64
+    cx = Gx // n_chunks
+    cy = Gy // m_chunks
+
+    def pass1(i, buf):
+        x = jax.lax.dynamic_slice_in_dim(axx, i * cx, cx)
+        tX = jax.lax.dynamic_slice_in_dim(tx, i * cx, cx)
+        V = _kernel_component(idx, a, x[:, None, None], axy[None, :, None],
+                              axz[None, None, :])
+        V = V * (tX[:, None, None] * ty[None, :, None] * tz[None, None, :])
+        Vh = jnp.fft.fft(jnp.fft.rfft(V, axis=2), axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(buf, Vh.astype(cdt),
+                                                   i * cx, axis=0)
+
+    buf = jnp.zeros((Gx, Gy, Gzr), cdt)
+    buf = (jax.lax.fori_loop(0, n_chunks, pass1, buf) if n_chunks > 1
+           else pass1(0, buf))
+
+    def pass2(j, out):
+        yb = jax.lax.dynamic_slice_in_dim(buf, j * cy, cy, axis=1)
+        kh = jnp.fft.fft(yb, axis=0).real.astype(comp_dt)
+        wy = jax.lax.dynamic_slice_in_dim(wky, j * cy, cy)
+        wk2 = (wkx[:, None, None] * wy[None, :, None]
+               * wkz[None, None, :]) ** 2
+        # modes where the window has no support are unresolvable: zero
+        # them rather than amplifying into overflow
+        keep = jnp.abs(wk2) > 1e-9
+        kh = jnp.where(keep, kh / jnp.where(keep, wk2, 1.0), 0.0)
+        return jax.lax.dynamic_update_slice_in_dim(out, kh, j * cy, axis=1)
+
+    out = jnp.zeros((Gx, Gy, Gzr), comp_dt)
+    return (jax.lax.fori_loop(0, m_chunks, pass2, out) if m_chunks > 1
+            else pass2(0, out))
+
+
+def _pow2_chunks(G: int, cells: int, target: float, cap: int = 32) -> int:
+    """Largest power-of-2 chunk count dividing ``G`` that brings a
+    ``cells``-cell pass under ``target`` cells per chunk (≤ ``cap``)."""
+    n = 1
+    while (n < cap and G % (2 * n) == 0 and cells / n > target):
+        n *= 2
+    return n
+
+
+def grid_shape_for(lo, hi, a: float, points_per_a: float = 2.5,
+                   support: int = None):
+    """(logical shape, padded FFT shape, h, support) for a box — the single
+    source of truth shared by build_grid and host-side memory sizing
+    (System._ewald_objects picks the splitting ``a`` so the 7 real spectra
+    fit the HBM budget; an estimate drifting from the builder would OOM)."""
+    h = a / points_per_a
+    sigma = a / 4.0
+    if support is None:
+        # window truncated at ±6σ: the tail (≈e^{−18}) stays below the
+        # deconvolution amplification at the grid Nyquist
+        support = 2 * int(np.ceil(6.0 * sigma / h)) + 1
+    margin = (support // 2 + 1) * h
+    lo = np.asarray(lo, np.float64) - margin
+    hi = np.asarray(hi, np.float64) + margin
+    shape = tuple(int(np.ceil((hi[i] - lo[i]) / h)) + 1 for i in range(3))
+    # extra padding makes room for a smooth per-dim taper of the tabulated
+    # kernel over offsets no physical pair uses (see build_grid); padded
+    # dims rounded to multiples of 4 so the chunked tabulation always has
+    # power-of-2 slab factors
+    taper_cells = 22
+    padded = []
+    for s in shape:
+        p = _round_up_fft(2 * s + 2 * taper_cells)
+        while p % 4:
+            p = _round_up_fft(p + 1)
+        padded.append(p)
+    return shape, tuple(padded), h, support, lo
+
+
+def spectra_bytes(lo, hi, a: float, points_per_a: float = 2.5,
+                  support: int = None, itemsize: int = 4) -> int:
+    """Device bytes the 7 stored real spectra will occupy for this box."""
+    _, padded, _, _, _ = grid_shape_for(lo, hi, a, points_per_a, support)
+    return 7 * padded[0] * padded[1] * (padded[2] // 2 + 1) * itemsize
 
 
 def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
@@ -216,20 +301,9 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     2×-padded grid and six rFFTs — done ON DEVICE (only 1-D auxiliaries are
     uploaded; the spectra themselves never cross the host↔device link).
     """
-    h = a / points_per_a
+    shape, padded, h, support, lo = grid_shape_for(lo, hi, a, points_per_a,
+                                                   support)
     sigma = a / 4.0
-    if support is None:
-        # window truncated at ±6σ: the tail (≈e^{−18}) stays below the
-        # deconvolution amplification at the grid Nyquist
-        support = 2 * int(np.ceil(6.0 * sigma / h)) + 1
-    margin = (support // 2 + 1) * h
-    lo = np.asarray(lo, np.float64) - margin
-    hi = np.asarray(hi, np.float64) + margin
-    shape = tuple(int(np.ceil((hi[i] - lo[i]) / h)) + 1 for i in range(3))
-    # extra padding makes room for a smooth per-dim taper of the tabulated
-    # kernel over offsets no physical pair uses (see below)
-    taper_cells = 22
-    padded = tuple(_round_up_fft(2 * s + 2 * taper_cells) for s in shape)
 
     axes = [np.fft.fftfreq(p, d=1.0 / p) * h for p in padded]  # signed offsets
 
@@ -275,15 +349,27 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     comp = (jnp.float64 if (jax.config.jax_enable_x64
                             and jax.default_backend() == "cpu")
             else jnp.float32)
-    one_d = [axes[0], axes[1], axes[2], tapers[0], tapers[1], tapers[2],
-             wk_1d(kx), wk_1d(ky), wk_1d(kz)]
-    khat_ri, phihat_ri = _tabulate_spectra(
-        float(a), *(jnp.asarray(v, comp) for v in one_d))
+    one_d = [jnp.asarray(v, comp) for v in
+             (axes[0], axes[1], axes[2], tapers[0], tapers[1], tapers[2],
+              wk_1d(kx), wk_1d(ky), wk_1d(kz))]
+    # chunk the per-component passes so transient FFT temps stay bounded
+    # regardless of grid size (the 1M-point OOM class); small grids run
+    # single-shot (n=m=1)
+    cells = padded[0] * padded[1] * padded[2]
+    Gzr = padded[2] // 2 + 1
+    n_chunks = _pow2_chunks(padded[0], cells, 6e7)
+    m_chunks = _pow2_chunks(padded[1], padded[0] * padded[1] * Gzr, 4e7)
+    khat = tuple(
+        _tabulate_component(float(a), i, *one_d, n_chunks=n_chunks,
+                            m_chunks=m_chunks).astype(dtype)
+        for i in range(6))
+    phihat = _tabulate_component(float(a), 6, *one_d, n_chunks=n_chunks,
+                                 m_chunks=m_chunks).astype(dtype)
 
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),
-                     khat=khat_ri.astype(dtype), a=float(a),
-                     phihat=phihat_ri.astype(dtype), logical=shape)
+                     khat=khat, a=float(a),
+                     phihat=phihat, logical=shape)
 
 
 def _es_beta(support: int) -> float:
@@ -735,7 +821,8 @@ def _far_convolve_logical(g_log, khat_ri, shape, logical):
         fh = [_rfftn_staged(g_log[c], shape, logical) for c in range(3)]
 
     def K(i):
-        return jax.lax.complex(khat_ri[0, i], khat_ri[1, i])
+        # real spectrum (see EwaldGrid.khat): real × complex products
+        return khat_ri[i]
 
     rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
     uhs = []
@@ -776,9 +863,9 @@ def _far_stresslet_convolve_logical(D_log, khat_ri, phihat_ri, shape,
             trD = trD + Dh
 
     def K(i):
-        return jax.lax.complex(khat_ri[0, i], khat_ri[1, i])
+        return khat_ri[i]   # real spectrum (see EwaldGrid.khat)
 
-    phihat = jax.lax.complex(phihat_ri[0], phihat_ri[1])
+    phihat = phihat_ri
     rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
     out = []
     for i in range(3):
@@ -791,7 +878,7 @@ def _far_stresslet_convolve_logical(D_log, khat_ri, phihat_ri, shape,
 
 @jax.jit
 def _far_convolve(grids, khat_ri):
-    khat = jax.lax.complex(khat_ri[0], khat_ri[1])
+    khat = khat_ri   # 6 real spectra (see EwaldGrid.khat)
     fhat = jnp.fft.rfftn(grids, axes=(1, 2, 3))
     ux = khat[0] * fhat[0] + khat[1] * fhat[1] + khat[2] * fhat[2]
     uy = khat[1] * fhat[0] + khat[3] * fhat[1] + khat[4] * fhat[2]
@@ -840,8 +927,8 @@ def _far_stresslet_convolve(D_grids, khat_ri, phihat_ri, shape, support, h):
     D_jk. Spectral derivatives of the seam-tapered tabulation are exact to
     its (Gaussian-small) aliasing level.
     """
-    khat = jax.lax.complex(khat_ri[0], khat_ri[1])
-    phihat = jax.lax.complex(phihat_ri[0], phihat_ri[1])
+    khat = khat_ri       # 6 real spectra (see EwaldGrid.khat)
+    phihat = phihat_ri   # real
     Dh = jnp.fft.rfftn(D_grids, axes=(1, 2, 3))
     rdt = D_grids.dtype
     kx = jnp.asarray(2 * np.pi * np.fft.fftfreq(shape[0], d=h), rdt)[:, None, None]
@@ -1114,24 +1201,43 @@ class EwaldStokeslet:
                 make_slab_bins(r_trg.astype(dt), g.lo, g.h, Gx, g.support,
                                cap))
 
-    def refresh_plans(self, plan, far_plan, r_src, r_trg):
-        """Verlet-list reuse: rebind a PREVIOUS step's plans to CURRENT
-        positions with gathers only (no sorts). Exact while every point has
-        moved < skin/2 since the near plan's build and < h/2 since the far
-        plan's (the caller enforces the tighter of the two and runs the far
-        windows wide). Applies consuming refreshed far bins MUST pass
-        wide=True to apply_with."""
+    def refresh_near(self, plan, r_src, r_trg):
+        """Verlet-list reuse of the NEAR plan: rebind a previous step's
+        cluster pairlist to CURRENT positions with gathers only (no sorts).
+        Valid while every point has moved < skin/2 since the plan's build:
+        the candidate list then still covers every pair within r_cut, and
+        the result matches a fresh skin-plan up to the shared real-space
+        truncation tail (the two candidate sets may differ by pairs in the
+        [r_cut, r_cut+skin] shell, each contributing its true, erfc-tail-
+        sized screened term — ~1e-7 relative at cut_in_a=3.5, below the
+        evaluator class)."""
         from skellysim_tpu.kernels.ewald_near_cluster import refresh_stores
 
         dt = self.dtype
-        plan = refresh_stores(plan, r_src.astype(dt), r_trg.astype(dt))
-        if far_plan is not None:
-            g = self.grid
-            far_plan = (refresh_slab_bins(far_plan[0], r_src.astype(dt),
-                                          g.lo, g.h, g.support),
-                        refresh_slab_bins(far_plan[1], r_trg.astype(dt),
-                                          g.lo, g.h, g.support))
-        return plan, far_plan
+        return refresh_stores(plan, r_src.astype(dt), r_trg.astype(dt))
+
+    def refresh_far(self, far_plan, r_src, r_trg):
+        """Reuse of the FAR slab binnings: recompute per-point coordinates
+        through the previous build's slab membership. Exact while every
+        point has moved < h/2 since the far plan's build, PROVIDED consuming
+        applies pass wide=True (the ±1-extra-row x windows then cover every
+        nonzero tap — see refresh_slab_bins)."""
+        if far_plan is None:
+            return None
+        g = self.grid
+        dt = self.dtype
+        return (refresh_slab_bins(far_plan[0], r_src.astype(dt),
+                                  g.lo, g.h, g.support),
+                refresh_slab_bins(far_plan[1], r_trg.astype(dt),
+                                  g.lo, g.h, g.support))
+
+    def refresh_plans(self, plan, far_plan, r_src, r_trg):
+        """refresh_near + refresh_far in one call (same displacement bounds:
+        the caller enforces min(skin/2, h/2) and runs the far windows
+        wide). Matches a full rebuild up to the shared real-space
+        truncation tail, not bitwise (see refresh_near)."""
+        return (self.refresh_near(plan, r_src, r_trg),
+                self.refresh_far(far_plan, r_src, r_trg))
 
     def apply_with(self, spectra, r_src, f_src, r_trg, eta=1.0, plan=None,
                    far_plan=None, wide: bool = False):
@@ -1240,6 +1346,8 @@ class EwaldStresslet:
                          self.pair_total, skin=float(skin))
 
     make_far_plan = EwaldStokeslet.make_far_plan
+    refresh_near = EwaldStokeslet.refresh_near
+    refresh_far = EwaldStokeslet.refresh_far
     refresh_plans = EwaldStokeslet.refresh_plans
 
     def apply_with(self, spectra, r_src, S, r_trg, eta=1.0, plan=None,

@@ -360,11 +360,13 @@ def _pack_stores(points, order, C):
 
 def refresh_stores(plan: ClusterPlan, r_src, r_trg) -> ClusterPlan:
     """Rebuild the position stores of a (possibly previous-step) plan from
-    CURRENT positions — two gathers, no sorts. Exact as long as every point
-    has moved less than skin/2 since the plan was built (the pairlist then
-    still covers every pair within r_cut; the extra candidate pairs carry
-    their true — tail-sized — screened contribution, same as the bbox
-    slack pairs a fresh build admits)."""
+    CURRENT positions — two gathers, no sorts. Valid as long as every point
+    has moved less than skin/2 since the plan was built: the pairlist then
+    still covers every pair within r_cut, so the result is exact UP TO the
+    shared real-space truncation tail — the refreshed and a freshly built
+    candidate set may differ by pairs in the [r_cut, r_cut+skin] shell,
+    each carrying its true, erfc-tail-sized screened contribution (same
+    class as the bbox-slack pairs a fresh build admits)."""
     dtype = plan.src_r.dtype
     return plan._replace(
         src_r=_pack_stores(r_src.astype(dtype), plan.src_order, CS),

@@ -71,24 +71,35 @@ def shard_shell_state(shell_state, mesh: Mesh):
     row_sh = NamedSharding(mesh, P(FIBER_AXIS, None))
     rep = replicated(mesh)
     n_mesh = int(np.prod(mesh.devices.shape))
-    if int(shell_state.M_inv.shape[0]) % n_mesh != 0:
-        # uneven row counts: keep the dense operators replicated rather than
-        # relying on implicit padding semantics (same effect as the
-        # reference running the periphery on fewer ranks than nodes%ranks
-        # allows — correctness first)
+    rows = int(shell_state.M_inv.shape[0])
+    pad = (-rows) % n_mesh
+    if pad:
+        # uneven row counts: zero-pad the row (output) axis to the mesh
+        # multiple so the operators still row-shard — the GEMV's padded
+        # outputs are sliced off by the consumers (shell._apply /
+        # precondition slice to 3·n_nodes). The reference handles the
+        # remainder rows with Scatterv counts (periphery.cpp:408-442);
+        # replicating instead (the round-3 fallback) silently cost
+        # ~2 × rows²·4 B of HBM per device at big shells.
         import logging
 
-        logging.getLogger("skellysim_tpu").warning(
-            "shell rows %d not divisible by mesh size %d: "
-            "replicating dense shell operators",
-            int(shell_state.M_inv.shape[0]), n_mesh)
-        row_sh = rep
+        import jax.numpy as jnp
+
+        logging.getLogger("skellysim_tpu").info(
+            "shell rows %d padded to %d for the %d-device mesh",
+            rows, rows + pad, n_mesh)
+
+        def _pad_rows(M):
+            return jnp.pad(M, ((0, pad), (0, 0)))
+    else:
+        def _pad_rows(M):
+            return M
     return shell_state.replace(
-        M_inv=put_global(shell_state.M_inv, row_sh),
+        M_inv=put_global(_pad_rows(shell_state.M_inv), row_sh),
         # matrix-free shells (A is None) have no dense operator to shard;
         # their apply is a pairwise kernel that GSPMD partitions from the
         # input shardings
-        A=(put_global(shell_state.A, row_sh)
+        A=(put_global(_pad_rows(shell_state.A), row_sh)
            if shell_state.A is not None else None),
         e_sub=(put_global(shell_state.e_sub, rep)
                if shell_state.e_sub is not None else None),

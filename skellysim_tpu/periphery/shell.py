@@ -314,9 +314,14 @@ def _nm(x: jax.Array) -> jax.Array:
 
 
 def _apply(state: ShellState, M: jax.Array, x: jax.Array) -> jax.Array:
+    # row-sharded operators may carry zero-padded rows (mesh row counts,
+    # parallel.mesh.shard_shell_state) — slice the GEMV back to 3N
+    n3 = 3 * state.n_nodes
     if state.blocked:
-        return _nm(M @ _cm(x))
-    return M @ x
+        y = M @ _cm(x)
+        return _nm(y[:n3] if M.shape[0] != n3 else y)
+    y = M @ x
+    return y[:n3] if M.shape[0] != n3 else y
 
 
 def second_kind_apply_free(state: ShellState, x: jax.Array) -> jax.Array:
@@ -353,6 +358,9 @@ def precondition(state: ShellState, x: jax.Array) -> jax.Array:
         xm = _cm(x) if state.blocked else x
         y = jax.lax.dot(state.M_inv, xm.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32).astype(x.dtype)
+        n3 = 3 * state.n_nodes
+        if state.M_inv.shape[0] != n3:   # mesh row padding — see _apply
+            y = y[:n3]
         return _nm(y) if state.blocked else y
     return _apply(state, state.M_inv, x)
 

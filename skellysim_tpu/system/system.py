@@ -63,14 +63,18 @@ def select_evaluators(pair_evaluator: str):
     return None, None
 
 
-def _pairlist_total(pts: np.ndarray, lo, r_cut: float) -> int:
+def _pairlist_total(pts: np.ndarray, lo, r_cut: float,
+                    skin: float = 0.0) -> int:
     """Candidate cluster-pair total for capacity sizing — delegates to the
     plan builder's own counting (ewald_near_cluster.candidate_total) so the
-    estimate can never drift from make_plan's device logic."""
+    estimate can never drift from make_plan's device logic. ``skin`` must
+    match the skin the plans will be built with (it widens the candidate
+    horizon and therefore the capacity)."""
     from skellysim_tpu.kernels.ewald_near_cluster import candidate_total
 
     p = jnp.asarray(pts)
-    return candidate_total(p, p, jnp.asarray(lo, p.dtype), float(r_cut))
+    return candidate_total(p, p, jnp.asarray(lo, p.dtype), float(r_cut),
+                           skin=float(skin))
 
 
 class Params:
@@ -107,6 +111,11 @@ class Params:
         self.ewald_cut_in_a = g("ewald_cut_in_a", None)
         self.ewald_near_mxu = g("ewald_near_mxu", False)
         self.ewald_near_poly = g("ewald_near_poly", False)
+        # Verlet-skin plan reuse across timesteps, as a fraction of r_cut:
+        # plans rebuild only when some point has moved > min(skin/2, h/2)
+        # since their build (near) / > h/2 (far) instead of every step.
+        # 0 disables reuse (per-step rebuild, the round-3 behavior).
+        self.ewald_plan_skin = g("ewald_plan_skin", 0.25)
         self.compat_timestep_clock = g("compat_timestep_clock", False)
         # device-mesh wiring (the mpirun analogue): int shard count, or
         # "auto" for jax.device_count(); None runs single-device
@@ -196,6 +205,12 @@ class System:
         if nd is not None:
             self._apply_mesh(nd)
 
+        # Verlet-skin plan carry (pair_evaluator="ewald"): plans built by
+        # _plan_init_fn / rebuilt in-step, reused across steps while the
+        # displacement monitor allows. None = (re)seed on next step.
+        self._plan_state = None
+        self._plan_rebuilds = 0
+        self._plan_steps = 0
         self._step_fn = self._build_step_fn()
         self._collision_fn = self._build_collision_fn()
         self._velocity_fn = self._build_velocity_fn()
@@ -317,6 +332,36 @@ class System:
         if a is None:
             vol = float(np.prod(hi - lo))
             a = max((vol / max(len(allp), 1)) ** (1.0 / 3.0), 1e-3)
+            # HBM-aware splitting width: the 7 stored real spectra cost
+            # 28 B per padded-grid cell, and grid cells scale as 1/a³. At
+            # ≥1e6-point densities the mean-spacing default overruns the
+            # chip (round-3: 768×313×625 FFT temps OOM'd the 1M run,
+            # docs/chip_logs/r3c/). Grow a until the spectra fit the
+            # budget — O(N) memory, trading far-field grid work for near
+            # pairs (r_cut scales with a). Explicit params.ewald_a wins.
+            from skellysim_tpu.kernels.ewald import spectra_bytes
+
+            budget = float(os.environ.get("SKELLY_EWALD_SPECTRA_GB", "3.0"))
+            budget_b = budget * 2**30
+            itemsize = 4 if self.dtype == jnp.float32 else 8
+            ppa = self.params.ewald_points_per_a
+            for _ in range(40):
+                need = spectra_bytes(lo, hi, a, ppa,
+                                     self.params.ewald_support,
+                                     itemsize=itemsize)
+                if need <= budget_b:
+                    break
+                a *= min((need / budget_b) ** (1.0 / 3.0), 1.3)
+            else:
+                raise RuntimeError(
+                    "could not fit the Ewald spectra into "
+                    f"SKELLY_EWALD_SPECTRA_GB={budget}")
+            if need < budget_b and a > 1.001 * max(
+                    (vol / max(len(allp), 1)) ** (1.0 / 3.0), 1e-3):
+                logger.info(
+                    "ewald: splitting width grown to a=%.4g so the spectra "
+                    "fit %.1f GB (%.2f GB); near-field r_cut scales with it",
+                    a, budget, need / 2**30)
         # tol-aware near-field truncation: erfc(3.0) ≈ 2.2e-5 relative tail —
         # below the f32 evaluator floor and the >= 1e-4 solve tolerances this
         # tier targets; tighter tolerances keep the 3.5a (~5e-6) default.
@@ -374,8 +419,10 @@ class System:
         # COO pairlist capacity: measure the candidate-pair total of the
         # initial geometry (conservatively src = trg = all points) and add
         # 1.5× headroom — a mid-run regrow means a full recompile on a
-        # remote-compile backend, so size generously up front
-        total = _pairlist_total(allp, stk.lo, stk.r_cut)
+        # remote-compile backend, so size generously up front. Sized at the
+        # skin-widened horizon the production plans use (Verlet reuse).
+        stk.skin = st.skin = float(self.params.ewald_plan_skin) * stk.r_cut
+        total = _pairlist_total(allp, stk.lo, stk.r_cut, skin=stk.skin)
         stk.pair_total = st.pair_total = _round_up(1.5 * total + 64, 4096)
         logger.info("ewald evaluators: box %s..%s a=%.4g grid=%s "
                     "slab_cap=%d near_caps=(%d,%d) pair_total=%d",
@@ -544,9 +591,38 @@ class System:
                     Nf * n_all_nodes, n_shell_nodes * (Nf + Nb),
                     Nb * n_all_nodes, _cutoff)
 
+        if use_ewald:
+            from skellysim_tpu.kernels.ewald import _use_slab
+
+            plan_skin = float(getattr(ew_stk, "skin", 0.0))
+            far_bound = 0.5 * float(ew_stk.grid.h)
+            has_far_plans = _use_slab() and ew_stk.mesh is None
+            any_tier = (ewald_fib_tier or (has_shell and ewald_shell_tier)
+                        or (has_bodies and ewald_body_tier))
+            plan_reuse = plan_skin > 0 and any_tier
+        else:
+            plan_skin = far_bound = 0.0
+            has_far_plans = plan_reuse = False
+
+        def _tier_specs(r_fib, r_all, r_fibbody):
+            """(key, evaluator, src, trg) for every coupling the hybrid
+            routes through the spectral tier — shared between step_fn's
+            per-step plan logic and plan_init_fn so the plan pytrees cannot
+            drift structurally."""
+            specs = []
+            if ewald_fib_tier:
+                specs.append(("fib", ew_stk, r_fib, r_all))
+            if has_shell and ewald_shell_tier:
+                specs.append(("shell", ew_str,
+                              r_all[Nf:Nf + n_shell_nodes], r_fibbody))
+            if has_bodies and ewald_body_tier:
+                specs.append(("body", ew_str,
+                              r_all[r_all.shape[0] - Nb:], r_all))
+            return specs
+
         @jax.jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
-                    dt, time, ewald_state=None):
+                    dt, time, ewald_state=None, plan_state=None):
             ev_stk, ev_str = ev_stk0, ev_str0
             # --- boundary conditions (update_boundary_conditions) ---
             bc_minus = [jnp.where(b.minus_clamped | (b.binding_body >= 0), 1, 0)
@@ -578,23 +654,103 @@ class System:
                          if has_bodies else r_fib)
 
             ewald_dropped = jnp.zeros((), jnp.int32)
+            plan_rebuilds = jnp.zeros((), jnp.int32)
+            new_plan_state = None
             if use_ewald:
                 # Near-field binning depends only on POSITIONS, which are
-                # fixed for the whole step: build each (src, trg) plan ONCE
-                # here, outside the GMRES loop, and share it across every
-                # matvec (and between the prep flow and the solve). The
-                # plans also COUNT capacity overflow; the host regrows
-                # capacities and re-runs when ewald_dropped > 0 instead of
-                # silently losing interactions. Tiers the hybrid routed to
-                # the dense kernels build no plan and count no overflow.
+                # fixed for the whole step: each (src, trg) plan is built
+                # (or refreshed) ONCE here, outside the GMRES loop, and
+                # shared across every matvec (and between the prep flow and
+                # the solve). The plans also COUNT capacity overflow; the
+                # host regrows capacities and re-runs when ewald_dropped > 0
+                # instead of silently losing interactions. Tiers the hybrid
+                # routed to the dense kernels build no plan and count no
+                # overflow.
+                #
+                # Verlet-skin reuse (plan_state is not None): plans carry
+                # over from previous steps and REBUILD only when some point
+                # has moved beyond the validity bound since that family's
+                # build — skin/2 for the near pairlist (candidates at
+                # r_cut+skin still cover every pair within r_cut), h/2 for
+                # the far slab bins (wide x windows cover every nonzero tap
+                # of the drifted ES window). The per-step cost drops from
+                # the full Morton/searchsorted build (~0.3 s at oocyte
+                # scale) to a few gathers. Analogue: the reference's FMM
+                # tree reuse (include/kernels.hpp:80-118 evaluator caching).
+                tier_specs = _tier_specs(r_fib, r_all, r_fibbody)
+                plans = {}
+                fars = {}
+                ref_far = r_all
+                wide = False
+                if tier_specs and plan_state is not None:
+                    # ~(d <= bound) instead of d > bound: a non-finite
+                    # position (poisoned state, fresh DI slot) must force a
+                    # REBUILD, never a silent refresh
+                    d2 = jnp.sum(
+                        jnp.square(r_all - plan_state["ref_near"]), axis=-1)
+                    near_stale = ~(jnp.max(d2) <= (0.5 * plan_skin) ** 2)
+
+                    def _near_rebuild(_):
+                        return {k: ev.make_near_plan(src, trg,
+                                                     skin=plan_skin)
+                                for k, ev, src, trg in tier_specs}, r_all
+
+                    def _near_refresh(_):
+                        return {k: ev.refresh_near(plan_state["near"][k],
+                                                   src, trg)
+                                for k, ev, src, trg in tier_specs}, \
+                            plan_state["ref_near"]
+
+                    plans, ref_near = jax.lax.cond(
+                        near_stale, _near_rebuild, _near_refresh, None)
+                    plan_rebuilds += near_stale.astype(jnp.int32)
+
+                    if has_far_plans:
+                        d2f = jnp.sum(
+                            jnp.square(r_all - plan_state["ref_far"]),
+                            axis=-1)
+                        far_stale = ~(jnp.max(d2f) <= far_bound ** 2)
+
+                        def _far_rebuild(_):
+                            return {k: ev.make_far_plan(src, trg)
+                                    for k, ev, src, trg in tier_specs}, \
+                                r_all
+
+                        def _far_refresh(_):
+                            return {k: ev.refresh_far(plan_state["far"][k],
+                                                      src, trg)
+                                    for k, ev, src, trg in tier_specs}, \
+                                plan_state["ref_far"]
+
+                        fars, ref_far = jax.lax.cond(
+                            far_stale, _far_rebuild, _far_refresh, None)
+                        plan_rebuilds += far_stale.astype(jnp.int32)
+                    else:
+                        fars = {k: None for k, _, _, _ in tier_specs}
+                        ref_far = r_all
+                    new_plan_state = {"ref_near": ref_near,
+                                      "ref_far": ref_far,
+                                      "near": plans, "far": fars}
+                    wide = True   # static: refreshed far bins need the ±1
+                    # extra x row; exact (pure zero-padding) for fresh ones
+                elif tier_specs:
+                    # per-step rebuild (ewald_plan_skin = 0, round-3 path)
+                    plans = {k: ev.make_near_plan(src, trg)
+                             for k, ev, src, trg in tier_specs}
+                    fars = {k: ev.make_far_plan(src, trg)
+                            for k, ev, src, trg in tier_specs}
+                    ref_far = r_all
+                    wide = False
+                for k, _, _, _ in tier_specs:
+                    ewald_dropped = ewald_dropped + plans[k].dropped
+
                 if ewald_fib_tier:
-                    plan_fib = ew_stk.make_near_plan(r_fib, r_all)
-                    far_fib = ew_stk.make_far_plan(r_fib, r_all)
-                    ewald_dropped = ewald_dropped + plan_fib.dropped
                     from skellysim_tpu.kernels.ewald import slab_dropped as _sd
                     g = ew_stk.grid
+                    # slab occupancy of the positions the far bins were
+                    # actually BUILT from (= ref_far; r_all when fresh)
                     ewald_dropped = ewald_dropped + _sd(
-                        r_all.astype(ew_stk.dtype), g.lo, g.h,
+                        ref_far.astype(ew_stk.dtype), g.lo, g.h,
                         int(g.logical[0]), ew_stk.slab_cap)
                     # points escaping the grid box would spread/interp with
                     # clamped or vanishing windows — silently wrong physics.
@@ -610,36 +766,29 @@ class System:
                         assert r_src.shape[0] == r_fib.shape[0], \
                             "stokeslet plan mismatch"
                         return ew_stk.apply_with(ewald_state, r_src, f_src,
-                                                 r_trg, eta_, plan=plan_fib,
-                                                 far_plan=far_fib)
+                                                 r_trg, eta_,
+                                                 plan=plans["fib"],
+                                                 far_plan=fars["fib"],
+                                                 wide=wide)
                 else:
                     ev_stk = dense_stk
 
                 if has_shell and ewald_shell_tier:
-                    plan_shell = ew_str.make_near_plan(shell_state.nodes,
-                                                       r_fibbody)
-                    far_shell = ew_str.make_far_plan(shell_state.nodes,
-                                                     r_fibbody)
-                    ewald_dropped = ewald_dropped + plan_shell.dropped
-
                     def ev_str_shell(r_src, S, r_trg, eta_=eta):
                         return ew_str.apply_with(ewald_state, r_src, S,
                                                  r_trg, eta_,
-                                                 plan=plan_shell,
-                                                 far_plan=far_shell)
+                                                 plan=plans["shell"],
+                                                 far_plan=fars["shell"],
+                                                 wide=wide)
                 else:
                     ev_str_shell = dense_str
                 if has_bodies and ewald_body_tier:
-                    plan_body = ew_str.make_near_plan(
-                        bcont.positions(body_caches), r_all)
-                    far_body = ew_str.make_far_plan(
-                        bcont.positions(body_caches), r_all)
-                    ewald_dropped = ewald_dropped + plan_body.dropped
-
                     def ev_str_body(r_src, S, r_trg, eta_=eta):
                         return ew_str.apply_with(ewald_state, r_src, S,
-                                                 r_trg, eta_, plan=plan_body,
-                                                 far_plan=far_body)
+                                                 r_trg, eta_,
+                                                 plan=plans["body"],
+                                                 far_plan=fars["body"],
+                                                 wide=wide)
                 else:
                     ev_str_body = dense_str
             else:
@@ -826,8 +975,40 @@ class System:
             collision = (collide_fn(new_blocks) if collide_fn is not None
                          else jnp.asarray(False))
             out = (new_blocks, new_shell, new_bodies, x_total, err, res.residual,
-                   res.iterations, res.converged, ewald_dropped, collision)
+                   res.iterations, res.converged, ewald_dropped, collision,
+                   new_plan_state, plan_rebuilds)
             return out + (dbg,) if _debug_solve else out
+
+        if plan_reuse:
+            @jax.jit
+            def plan_init_fn(blocks, shell_state, body_states):
+                """Initial Verlet-skin plan state for the CURRENT geometry
+                (step_fn then refreshes/rebuilds it in-step via the
+                displacement monitor)."""
+                body_caches = (bcont.update_caches(body_states, eta)
+                               if has_bodies else [])
+                r_fib = fs.positions(blocks)
+                r_parts = [r_fib]
+                if has_shell:
+                    r_parts.append(shell_state.nodes)
+                if has_bodies:
+                    r_parts.append(bcont.positions(body_caches))
+                r_all = jnp.concatenate(r_parts, axis=0)
+                r_fibbody = (jnp.concatenate(
+                    [r_fib, r_all[r_all.shape[0] - Nb:]])
+                    if has_bodies else r_fib)
+                specs = _tier_specs(r_fib, r_all, r_fibbody)
+                near = {k: ev.make_near_plan(src, trg, skin=plan_skin)
+                        for k, ev, src, trg in specs}
+                far = {k: (ev.make_far_plan(src, trg) if has_far_plans
+                           else None)
+                       for k, ev, src, trg in specs}
+                return {"ref_near": r_all, "ref_far": r_all,
+                        "near": near, "far": far}
+
+            self._plan_init_fn = plan_init_fn
+        else:
+            self._plan_init_fn = None
 
         return step_fn
 
@@ -1182,6 +1363,7 @@ class System:
             logger.warning("ewald capacity overflow: regrown to "
                            "pair_total=%d slab=%d and recompiling",
                            stk.pair_total, stk.slab_cap)
+        self._plan_state = None   # capacities changed → plan shapes changed
         self._step_fn = self._build_step_fn()
         self._velocity_fn = self._build_velocity_fn()
 
@@ -1191,6 +1373,7 @@ class System:
             logger.info("fiber capacity changed; recompiling step")
             if self.mesh is not None:
                 self._reshard_fibers()
+            self._plan_state = None   # fiber capacity → plan shapes changed
             self._step_fn = self._build_step_fn()
             self._collision_fn = self._build_collision_fn()
             self._velocity_fn = self._build_velocity_fn()
@@ -1198,9 +1381,19 @@ class System:
         use_ewald = self.params.pair_evaluator == "ewald"
         for _attempt in range(6):
             shell_state = self.shell.state if self.shell else None
-            extra = ((self._ewald_state,) if use_ewald else ())
+            extra = ()
+            if use_ewald:
+                if (self._plan_init_fn is not None
+                        and self._plan_state is None):
+                    # first step / after a capacity or geometry-topology
+                    # change: seed the Verlet-skin plan carry
+                    self._plan_state = self._plan_init_fn(
+                        self.fibers.blocks, shell_state,
+                        self.bodies.states())
+                extra = (self._ewald_state, self._plan_state)
             (blocks, new_shell, new_bodies, sol, err, resid, iters, conv,
-             dropped, collision, *dbg) = self._step_fn(
+             dropped, collision, plan_state_new, rebuilds,
+             *dbg) = self._step_fn(
                 self.fibers.blocks, shell_state, self.bodies.states(),
                 self.point_sources, self.background,
                 jnp.asarray(self.dt, self.dtype),
@@ -1213,9 +1406,17 @@ class System:
                              jax.device_get(dbg[0]).items()})
             # one batched readback of every step scalar — per-scalar pulls
             # each pay a full round trip on tunneled backends
-            err, resid_h, iters_h, conv_h, dropped_h, coll_h = jax.device_get(
-                (err, resid, iters, conv, dropped, collision))
+            (err, resid_h, iters_h, conv_h, dropped_h, coll_h,
+             rebuilds_h) = jax.device_get(
+                (err, resid, iters, conv, dropped, collision, rebuilds))
             if not use_ewald or int(dropped_h) == 0:
+                # keep the plan carry even for steps the caller later
+                # REJECTS: plans were built/refreshed from PRE-step
+                # positions, which a rejection restores, so they stay valid
+                self._plan_state = plan_state_new
+                if self._plan_init_fn is not None:
+                    self._plan_rebuilds += int(rebuilds_h)
+                    self._plan_steps += 1
                 break
             # capacity overflow: the evaluation silently lost `dropped`
             # interactions — the result is WRONG, not merely inaccurate.
@@ -1235,6 +1436,9 @@ class System:
             int(iters_h), float(resid_h), bool(conv_h),
             _walltime.perf_counter() - t0,
         )
+        if self._plan_init_fn is not None and int(rebuilds_h):
+            logger.info("ewald plans rebuilt (%d/%d steps so far)",
+                        self._plan_rebuilds, self._plan_steps)
         return err, bool(conv_h)
 
     def _body_cloud(self, body) -> np.ndarray:
@@ -1507,6 +1711,7 @@ class System:
         except (KeyError, ValueError, IndexError, TypeError):
             logger.warning("could not restore RNG state; reseeding")
         if rebuilt and hasattr(self, "_step_fn"):
+            self._plan_state = None
             self._step_fn = self._build_step_fn()
             self._collision_fn = self._build_collision_fn()
             self._velocity_fn = self._build_velocity_fn()

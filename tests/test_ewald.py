@@ -192,3 +192,57 @@ def test_far_plan_reuse_matches_internal_binning(monkeypatch):
     u1 = np.asarray(ew.apply_with(sp, r, f, r, 1.0, plan=plan, far_plan=far))
     scale = np.abs(u0).max()
     assert np.abs(u0 - u1).max() < 1e-5 * scale
+
+
+def test_tabulate_component_chunked_matches_single():
+    """The x-slab / y-slab streamed tabulation (the 1M-OOM fix) must match
+    the single-shot pass to FFT roundoff on every component."""
+    g = ewald.build_grid(np.zeros(3), np.full(3, 1.6), a=0.4,
+                         points_per_a=2.5, dtype=jnp.float64)
+    padded = g.shape
+    # rebuild the 1-D inputs exactly as build_grid does, then compare
+    # chunked vs unchunked tabulation of two representative components
+    # (even-even diag 0, odd-odd off-diag 1) and phi (6)
+    import jax
+
+    comp = jnp.float64
+    axes = [np.fft.fftfreq(p, d=1.0 / p) * g.h for p in padded]
+    from scipy.special import erfc as _erfc
+    w_t = 2.2 * g.h
+    tapers = []
+    for axis in range(3):
+        lim = (g.logical[axis] - 1) * g.h
+        tapers.append(0.5 * _erfc((np.abs(axes[axis]) - lim - 5 * w_t) / w_t))
+    # identity window spectra isolate the FFT/chunk plumbing (z is the
+    # rfft half-axis)
+    ones = [np.ones(padded[0]), np.ones(padded[1]),
+            np.ones(padded[2] // 2 + 1)]
+    one_d = [jnp.asarray(v, comp) for v in
+             (axes[0], axes[1], axes[2], tapers[0], tapers[1], tapers[2],
+              ones[0], ones[1], ones[2])]
+    for idx in (0, 1, 6):
+        ref = ewald._tabulate_component(0.4, idx, *one_d)
+        chk = ewald._tabulate_component(0.4, idx, *one_d,
+                                        n_chunks=4, m_chunks=2)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(chk - ref))) < 1e-12 * scale
+
+
+def test_spectra_are_real_tuple_and_sized():
+    """Real-only storage contract: khat is 6 real half-spectra, phihat one,
+    and grid_shape_for/spectra_bytes agree with what build_grid built."""
+    lo, hi = np.zeros(3), np.full(3, 1.6)
+    g = ewald.build_grid(lo, hi, a=0.4, points_per_a=2.5, dtype=jnp.float64)
+    assert isinstance(g.khat, tuple) and len(g.khat) == 6
+    fft_shape = (g.shape[0], g.shape[1], g.shape[2] // 2 + 1)
+    for c in g.khat:
+        assert not jnp.iscomplexobj(c)
+        assert c.shape == fft_shape
+    assert g.phihat.shape == fft_shape
+    shape, padded, h, support, _ = ewald.grid_shape_for(lo, hi, 0.4, 2.5)
+    assert padded == g.shape and shape == g.logical
+    want = 7 * fft_shape[0] * fft_shape[1] * fft_shape[2] * 8
+    assert ewald.spectra_bytes(lo, hi, 0.4, 2.5, itemsize=8) == want
+    # budget knob direction: growing a must shrink the spectra
+    assert (ewald.spectra_bytes(lo, hi, 0.8, 2.5)
+            < ewald.spectra_bytes(lo, hi, 0.4, 2.5))

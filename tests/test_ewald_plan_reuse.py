@@ -3,12 +3,15 @@
 The per-step pairlist/binning builds (Morton argsorts, slab sorts,
 searchsorted expansion) are a ~0.3 s fixed cost per oocyte step on a v5e —
 the measured gap between the ewald and dense evaluators at 1e5 points.
-A plan built with a skin margin stays EXACT while no point has moved more
+A plan built with a skin margin stays valid while no point has moved more
 than skin/2 (near pairlist: candidates at r_cut+skin cover every pair now
 within r_cut; far slabs: the widened x window covers every nonzero tap of
-the true ES window), so the System can rebuild plans every ~30 steps
-instead of every step. These tests pin the exactness claims at the kernel
-level; test_ewald_system.py covers the System wiring.
+the true ES window) — exact up to the shared real-space truncation tail
+(refreshed vs rebuilt candidate sets differ by [r_cut, r_cut+skin]-shell
+pairs carrying erfc-tail-sized terms). The System rebuilds plans only on
+displacement-bound violation instead of every step. These tests pin the
+claims at the kernel level; tests/test_plan_reuse_system.py covers the
+System wiring (params.ewald_plan_skin).
 """
 
 import os
@@ -111,7 +114,13 @@ def test_full_apply_reuse_matches_rebuild(cloud):
                               plan=ev.make_near_plan(r2, r2, skin=skin),
                               far_plan=ev.make_far_plan(r2, r2))
     scale = float(jnp.max(jnp.abs(u_rebuild)))
-    assert float(jnp.max(jnp.abs(u_reuse - u_rebuild))) < 1e-8 * scale
+    # NOT a bitwise claim: the refreshed plan (candidates from the OLD
+    # cluster bboxes at r_cut+skin) and the rebuilt plan (NEW bboxes) admit
+    # different pairs in the [r_cut, r_cut+skin] shell, each carrying its
+    # true erfc-tail screened term — ~5e-8·scale measured here (round-3
+    # suite failed this at a 1e-8 bound). Bound at the truncation-tail
+    # class; the dense-oracle check below is the real accuracy gate.
+    assert float(jnp.max(jnp.abs(u_reuse - u_rebuild))) < 1e-6 * scale
 
     u_dense = reference.stokeslet_apply(r2, f, r2, 1.0)
     rel = float(jnp.linalg.norm(u_reuse - u_dense)
@@ -141,7 +150,8 @@ def test_stresslet_reuse_matches_rebuild(cloud):
                               plan=ev.make_near_plan(r2, r2, skin=skin),
                               far_plan=ev.make_far_plan(r2, r2))
     scale = float(jnp.max(jnp.abs(u_rebuild)))
-    assert float(jnp.max(jnp.abs(u_reuse - u_rebuild))) < 1e-8 * scale
+    # truncation-tail bound, not bitwise — see the stokeslet test above
+    assert float(jnp.max(jnp.abs(u_reuse - u_rebuild))) < 1e-6 * scale
 
     u_dense = reference.stresslet_apply(r2, S, r2, 1.0)
     rel = float(jnp.linalg.norm(u_reuse - u_dense)
