@@ -53,6 +53,8 @@ def build_config(args):
         p.periphery_binding.threshold = 0.3
     if args.ewald_a is not None:
         p.ewald_a = args.ewald_a
+    if args.plan_skin is not None:
+        p.ewald_plan_skin = args.plan_skin
     if args.points_per_a is not None:
         p.ewald_points_per_a = args.points_per_a
     if args.cut_in_a is not None:
@@ -126,6 +128,9 @@ def main(argv=None):
                     help="device-built matrix-free shell operator + bf16 "
                          "NS-inverse preconditioner (the >=1e6-point "
                          "regime: stored dense operators would not fit)")
+    ap.add_argument("--plan-skin", type=float, default=None,
+                    help="params.ewald_plan_skin override (fraction of "
+                         "r_cut; 0 = rebuild plans every step)")
     ap.add_argument("--ds-min", type=float, default=0.03,
                     help="minimum fiber spacing on the periphery surface")
     ap.add_argument("--workdir", default=".bench_oocyte")
@@ -210,6 +215,9 @@ def main(argv=None):
         "step_s_median": round(sorted(times)[len(times) // 2], 3),
         "fiber_error": float(err),
         "converged": bool(conv),
+        # Verlet-skin plan reuse cadence (0/0 when reuse is off)
+        "plan_rebuilds": int(system._plan_rebuilds),
+        "plan_steps": int(system._plan_steps),
     }
     mem = hbm_stats()
     if mem:

@@ -64,8 +64,19 @@ def main(argv=None) -> int:
 
         # one process per host; TPU pod env supplies coordinator address,
         # process count and index (jax.distributed docs). This replaces the
-        # reference's MPI_Init_thread (src/skelly_sim.cpp:14).
-        jax.distributed.initialize()
+        # reference's MPI_Init_thread (src/skelly_sim.cpp:14). Outside a
+        # recognized cluster (e.g. a hand-launched CPU/GPU fleet, or the CI
+        # smoke test), SKELLY_COORDINATOR / SKELLY_NUM_PROCESSES /
+        # SKELLY_PROCESS_ID supply the rendezvous explicitly — the
+        # `mpirun -n N` analogue.
+        coord = os.environ.get("SKELLY_COORDINATOR")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["SKELLY_NUM_PROCESSES"]),
+                process_id=int(os.environ["SKELLY_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
 
     traj = "skelly_sim.out"
     if not args.resume and not args.listen and os.path.exists(traj) and not args.overwrite:

@@ -87,6 +87,7 @@ class Params:
     ewald_cut_in_a: Optional[float] = None       # near-field cutoff in units of a (None -> tol-aware 3.0/3.5)
     ewald_near_mxu: bool = False                 # near-field output contractions on the MXU (A/B knob)
     ewald_near_poly: bool = False                # FMA-only polynomial screened coefficients (A/B knob)
+    ewald_plan_skin: float = 0.25                # Verlet plan-reuse skin as a fraction of r_cut (0 = rebuild plans every step)
 
 
 @dataclass

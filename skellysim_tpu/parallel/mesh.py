@@ -145,3 +145,24 @@ def pad_batch_to(block, multiple: int):
         binding_site=padded.binding_site.at[B:].set(-1),
     )
     return padded, B
+
+
+def host_global(tree):
+    """Fully-addressable host copies of a (possibly process-sharded) pytree.
+
+    Single-process: identity (np.asarray happens at the use site).
+    Multi-process: all-gather every non-addressable leaf so every process
+    holds the full array — the analogue of the reference's MPI Gatherv
+    before rank-0 trajectory writes (fiber_container.cpp periodic output).
+    Collective: every process must call it in lockstep.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def leaf(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return a
+
+    return jax.tree_util.tree_map(leaf, tree)

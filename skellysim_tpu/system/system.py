@@ -1590,6 +1590,8 @@ class System:
 
     # ---- I/O ----
     def _open_writer(self, resume: bool = False):
+        if jax.process_index() != 0:
+            return   # rank-0 writes, like the reference's gathered output
         if self._writer is None and not self._listen:
             self._writer = tio.TrajectoryWriter(self._output_file, resume=resume)
 
@@ -1597,12 +1599,18 @@ class System:
         return self.rng.dump()
 
     def _frame_dict(self) -> dict:
+        # multi-process runs: gather the process-sharded fiber blocks to
+        # every host first (collective — all processes build the frame,
+        # only process 0 writes it; see write_frame)
+        from skellysim_tpu.parallel import mesh as pmesh
+
+        blocks_h = pmesh.host_global(self.fibers.blocks)
         fib_entries = []
         di_on = bool(self.params.dynamic_instability
                      and self.params.dynamic_instability.get("n_nodes", 0))
         rows = self.fibers.active_rows() if di_on else self.fibers.perm
         for bi, row in rows:
-            b = self.fibers.blocks[bi]
+            b = blocks_h[bi]
             fib_entries.append(tio.pack_fiber(
                 n_nodes=b.n_nodes,
                 radius=float(b.radius[row]),
@@ -1641,14 +1649,19 @@ class System:
         )
 
     def write_frame(self):
+        frame = self._frame_dict()   # collective (multi-process allgather)
         self._open_writer()
-        self._writer.write_frame(self._frame_dict())
+        if self._writer is not None:
+            self._writer.write_frame(frame)
 
     def write_config_snapshot(self, path: str):
+        frame = self._frame_dict()   # collective — before the rank gate
+        if jax.process_index() != 0:
+            return
         with open(path, "wb") as f:
             import msgpack
 
-            f.write(msgpack.packb(self._frame_dict()))
+            f.write(msgpack.packb(frame))
 
     def load_frame_state(self, frame: dict) -> None:
         """Restore full system state from a decoded trajectory frame
