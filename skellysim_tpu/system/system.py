@@ -1431,6 +1431,8 @@ class System:
         self.bodies.set_states(new_bodies)
         self.curr_solution = sol  # device array; host copy is lazy (property)
         self._last_fiber_collision = bool(coll_h)
+        self._last_iters = int(iters_h)
+        self._last_residual = float(resid_h)
         logger.info(
             "solver: iters %d, residual %.3e, converged %s, wall %.3fs",
             int(iters_h), float(resid_h), bool(conv_h),
