@@ -44,6 +44,12 @@ def _periphery_config(precision):
     config.params.gmres_tol = 1e-7
     config.params.pair_evaluator = "direct"
     config.params.precision = precision
+    # this gate measures the INCREMENT solve's accuracy floor (each step's
+    # error ~tol·||r0||, far below tol·||b||) — pin the round-3 tolerance
+    # scope; the "rhs" default (Belos parity) legitimately stops at
+    # tol·||b|| and would accumulate ~1e-5 here (see
+    # scripts/study_tight_tol.py and test_emulated_tol_scope_rhs_iters)
+    config.params.emulated_tol_scope = "increment"
     # BENT fiber: elastic solution forces radiate and excite a nonzero
     # shell density (straight motor-driven fibers never do — motor forces
     # are fiber-internal, reference system.cpp:416-425, see
@@ -80,6 +86,9 @@ def _body_config(precision):
     config.params.gmres_tol = 1e-7
     config.params.pair_evaluator = "direct"
     config.params.precision = precision
+    # increment scope: this gate measures per-increment accuracy (see
+    # _periphery_config)
+    config.params.emulated_tol_scope = "increment"
     config.bodies = [Body(shape="sphere", radius=0.5, n_nodes=400,
                           position=[0.0, 0.0, 0.0],
                           external_force=[0.0, 0.0, -0.3],
@@ -162,3 +171,32 @@ def test_emulated_with_body_matches_f64(sim_dir):
     x_emu = (np.asarray(blk_e.x, np.float64)
              + np.asarray(blk_e.x_lo, np.float64))
     assert np.abs(x_emu - np.asarray(blk_r.x, np.float64)).max() < 5e-8
+
+
+def test_emulated_tol_scope_rhs_cuts_warm_iterations(sim_dir):
+    """The "rhs" (Belos-parity) scope must eliminate the warm-step
+    over-solving premium: with a warm start the increment residual is
+    already ~1e-3..1e-4 of ||b||, so converging to tol·||b|| needs far
+    fewer iterations than converging to tol·||r0|| (VERDICT r3 #4 — the
+    145-iteration oocyte step was this premium at scale)."""
+    import os
+
+    iters = {}
+    for scope in ("rhs", "increment"):
+        config = _periphery_config("emulated")
+        config.params.emulated_tol_scope = scope
+        config.save("skelly_config.toml")
+        cfg = tomlio.load("skelly_config.toml")
+        if not os.path.exists(cfg["periphery"]["precompute_file"]):
+            precompute_periphery(cfg)
+        system = System(cfg)
+        for _ in range(3):
+            err, conv = system.step()
+            assert conv
+            system.time += system.dt
+        iters[scope] = system._last_iters
+    # the warm third step: rhs scope must need strictly fewer iterations
+    # (this 1-fiber config measures 3 vs 5; the premium GROWS with
+    # coupling: 21 vs 0 at 200 fibers + shell at tol 1e-4 —
+    # scripts/study_tight_tol.py)
+    assert iters["rhs"] < iters["increment"], iters
