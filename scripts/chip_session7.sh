@@ -1,12 +1,17 @@
 #!/bin/bash
-# Round-4 TPU session #1: plan-reuse A/B + the 1M-point run.
+# Round-4 TPU session: plan-reuse A/B, the 1M-point run, the emulated
+# cost-vs-tol curve, and the fixed VPU microbench.
 #   1. walls-on oocyte A/B (VERDICT r3 #1): dense Pallas vs ewald with
-#      Verlet-skin plan reuse (default 0.25) vs ewald --plan-skin 0
-#      (round-3 rebuild-every-step baseline). 6 timed steps so the
-#      steady-state refresh cadence shows.
+#      Verlet-skin plan reuse vs ewald --plan-skin 0 (round-3 baseline).
 #   2. walls-off ewald leg with reuse (headline vs dense 0.362 s/step).
-#   3. 1M-point coupled run (VERDICT r3 #2) on the chunked real spectra +
-#      HBM-budgeted splitting width.
+#   3. 1M-point coupled run (VERDICT r3 #2) on chunked real spectra +
+#      the HBM-budgeted splitting width.
+#   4. emulated cost-vs-tol curve at oocyte scale (VERDICT r3 #4) with
+#      the round-4 "rhs" tolerance scope — re-measures the 145-iteration
+#      28.2 s/step round-3 point.
+#   5. fixed bench_vpu_ops (VERDICT r3 #5): self-validating slot prices +
+#      the stresslet select-variant A/B.
+# Init-phase INFO lines (VERDICT r3 #8) land in every leg's .err file.
 set -u
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 LOGDIR=${LOGDIR:-/tmp/chip_logs_r4a}
@@ -43,11 +48,9 @@ run() { # name timeout cmd... — one retry (compile-helper wedges hit the
     done
 }
 
-# leg 1: walls-on A/B — reuse vs rebuild-every-step vs dense
+# leg 1: walls-on A/B — reuse vs dense vs rebuild-every-step
 run walls_ewald_reuse 3600 python scripts/bench_oocyte.py --evaluator ewald \
     --ds-min 0.1 --shell-nodes 6000 --steps 6 --workdir "$WORKWALL"
-run walls_ewald_noreuse 3600 python scripts/bench_oocyte.py --evaluator ewald \
-    --plan-skin 0 --ds-min 0.1 --shell-nodes 6000 --steps 6 --workdir "$WORKWALL"
 run walls_pallas 2700 python scripts/bench_oocyte.py --evaluator pallas \
     --ds-min 0.1 --shell-nodes 6000 --steps 6 --workdir "$WORKWALL"
 
@@ -60,5 +63,28 @@ run oocyte_1m 7200 env SKELLY_EWALD_SPECTRA_GB=3.0 \
     python scripts/bench_oocyte.py --evaluator ewald \
     --fibers 31000 --fiber-nodes 32 --shell-nodes 8000 --ds-min 0.012 \
     --matrix-free --steps 3 --workdir "$WORK1M"
+
+# leg 4: rebuild-every-step ewald baseline (isolates the reuse win)
+run walls_ewald_noreuse 3600 python scripts/bench_oocyte.py --evaluator ewald \
+    --plan-skin 0 --ds-min 0.1 --shell-nodes 6000 --steps 6 --workdir "$WORKWALL"
+
+# leg 5: emulated cost-vs-tol at oocyte scale (round-3: 28.2 s/step,
+# 145 iters at 1e-8 under the old increment scope)
+run emulated_tol8 3600 python scripts/bench_oocyte.py --evaluator pallas \
+    --no-walls --ds-min 0.1 --shell-nodes 6000 --precision emulated \
+    --tol 1e-8 --steps 3 --workdir "$WORKREF"
+
+# leg 6: fixed VPU slot pricing + stresslet select A/B
+run vpu_ops 1800 python scripts/bench_vpu_ops.py
+
+run emulated_tol6 3600 python scripts/bench_oocyte.py --evaluator pallas \
+    --no-walls --ds-min 0.1 --shell-nodes 6000 --precision emulated \
+    --tol 1e-6 --steps 3 --workdir "$WORKREF"
+run emulated_tol10 4500 python scripts/bench_oocyte.py --evaluator pallas \
+    --no-walls --ds-min 0.1 --shell-nodes 6000 --precision emulated \
+    --tol 1e-10 --steps 3 --workdir "$WORKREF"
+run emulated_tol4 3600 python scripts/bench_oocyte.py --evaluator pallas \
+    --no-walls --ds-min 0.1 --shell-nodes 6000 --precision emulated \
+    --tol 1e-4 --steps 3 --workdir "$WORKREF"
 
 echo "[chip_session7] done $(date +%T)"

@@ -383,7 +383,9 @@ class System:
             else:
                 raise RuntimeError(
                     "could not fit the Ewald spectra into "
-                    f"SKELLY_EWALD_SPECTRA_GB={budget}")
+                    f"SKELLY_EWALD_SPECTRA_GB={budget} — the taper/window "
+                    "padding gives the grid a ~10 MiB floor per box; raise "
+                    "the budget")
             if need < budget_b and a > 1.001 * max(
                     (vol / max(len(allp), 1)) ** (1.0 / 3.0), 1e-3):
                 logger.info(

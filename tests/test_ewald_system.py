@@ -144,3 +144,36 @@ def test_box_escape_triggers_rebuild_not_silence():
                           for b in s_direct.fibers.blocks])
     x_e = np.concatenate([np.asarray(b.x).ravel() for b in s.fibers.blocks])
     assert np.abs(x_d - x_e).max() < 1e-6
+
+
+def test_spectra_budget_grows_splitting_width(monkeypatch):
+    """SKELLY_EWALD_SPECTRA_GB caps the stored-spectra footprint by growing
+    the auto splitting width a (grid cells ~ 1/a³) — the O(N)-memory fix
+    for the round-3 1M-point OOM. The solve must still converge and match
+    the dense evaluator at the evaluator class (coarser grid + longer
+    r_cut is a cost trade, not an accuracy one at fixed points_per_a)."""
+    import os
+
+    from skellysim_tpu.kernels.ewald import spectra_bytes
+
+    s_free = _build("ewald")
+    stk_free, _ = s_free._ewald_objects()
+
+    # floor: taper padding keeps the padded grid >= ~48^3 even at huge a
+    monkeypatch.setenv("SKELLY_EWALD_SPECTRA_GB", "0.02")
+    s_cap = _build("ewald")
+    stk_cap, _ = s_cap._ewald_objects()
+    assert stk_cap.a > 1.1 * stk_free.a
+    assert (spectra_bytes(stk_cap.box_lo, stk_cap.box_hi, stk_cap.a,
+                          points_per_a=3.0, itemsize=8)
+            <= 0.02 * 2**30 * 1.05)
+
+    r = s_cap.step()
+    assert bool(r[1])
+    s_direct = _build("direct")
+    s_direct.step()
+    x_d = np.concatenate([np.asarray(b.x).ravel()
+                          for b in s_direct.fibers.blocks])
+    x_e = np.concatenate([np.asarray(b.x).ravel()
+                          for b in s_cap.fibers.blocks])
+    assert np.abs(x_d - x_e).max() < 1e-6
