@@ -304,6 +304,15 @@ class System:
             padded, _ = pmesh.pad_batch_to(blk, self._mesh_devices)
             blocks.append(pmesh.shard_block_leaves(padded, self.mesh))
         self.fibers.blocks = blocks
+        # per-process distribution audit, mirroring the reference's MPI
+        # count assertions (unit_test_fibercontainer_finite_difference_mpi:
+        # 10 fibers -> 5 local per rank); tests grep this line
+        local = sum(sum(s.data.shape[0] for s in b.x.addressable_shards)
+                    for b in blocks)
+        total = sum(b.n_fibers for b in blocks)
+        logger.info("mesh: %d devices / %d process(es); local fiber rows "
+                    "%d of %d", self._mesh_devices, jax.process_count(),
+                    local, total)
 
     def _log_params(self):
         """Startup parameter dump (Params::print, src/core/params.cpp:82-106)."""

@@ -74,6 +74,10 @@ cfg.save(r"{tmp_path}/skelly_config.toml")
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        # exact per-process distribution counts, mirroring the reference's
+        # MPI unit test (10 fibers -> 5 local per rank): 6 fibers pad to 8
+        # over the 4-device mesh -> 2 devices x 2 rows local per process
+        assert "local fiber rows 4 of 8" in out, out[-2000:]
 
     # rank 0 wrote the trajectory + snapshots; the run actually stepped
     sys.path.insert(0, REPO)
