@@ -88,3 +88,10 @@ run emulated_tol4 3600 python scripts/bench_oocyte.py --evaluator pallas \
     --tol 1e-4 --steps 3 --workdir "$WORKREF"
 
 echo "[chip_session7] done $(date +%T)"
+
+# appended leg: smaller skin — if 0.25·r_cut inflates the near-field
+# candidate set enough to eat the plan-build savings, 0.1 is the fallback
+run walls_ewald_skin01 3600 python scripts/bench_oocyte.py --evaluator ewald \
+    --plan-skin 0.1 --ds-min 0.1 --shell-nodes 6000 --steps 6 \
+    --workdir "$WORKWALL"
+echo "[chip_session7] appended legs done $(date +%T)"
