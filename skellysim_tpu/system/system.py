@@ -229,6 +229,7 @@ class System:
         # displacement monitor allows. None = (re)seed on next step.
         self._plan_state = None
         self._plan_rebuilds = 0
+        self._plan_seeds = 0
         self._plan_steps = 0
         if self.params.pair_evaluator == "ewald" and self.mesh is None:
             # build the evaluators (grid spectra + capacity sizing) HERE so
@@ -1459,6 +1460,7 @@ class System:
                     self._plan_state = self._plan_init_fn(
                         self.fibers.blocks, shell_state,
                         self.bodies.states())
+                    self._plan_seeds += 1
                 extra = (self._ewald_state, self._plan_state)
             (blocks, new_shell, new_bodies, sol, err, resid, iters, conv,
              dropped, collision, plan_state_new, rebuilds,

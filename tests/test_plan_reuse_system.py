@@ -100,3 +100,61 @@ def test_displacement_violation_triggers_rebuild(slab_env):
     _, conv = s.step()
     assert conv
     assert s._plan_rebuilds > rebuilds0
+
+
+def test_dynamic_instability_invalidates_plans(slab_env, tmp_path,
+                                               monkeypatch):
+    """Nucleation moves a slot's position discontinuously: the on-device
+    displacement monitor must force a plan rebuild (or the capacity-growth
+    path must reset the carry) — never a silent refresh of stale plans."""
+    monkeypatch.chdir(tmp_path)
+    from skellysim_tpu.config import Body
+    from skellysim_tpu.io import tomlio
+    from skellysim_tpu.precompute.main import precompute_body
+
+    config = Config()
+    config.params.eta = 1.0
+    config.params.dt_initial = 0.01
+    config.params.dt_max = 0.01
+    config.params.t_final = 0.05
+    config.params.gmres_tol = 1e-8
+    config.params.pair_evaluator = "ewald"
+    config.params.ewald_hybrid = False
+    config.params.seed = 42
+    config.params.dynamic_instability.n_nodes = 8
+    config.params.dynamic_instability.v_growth = 0.5
+    config.params.dynamic_instability.f_catastrophe = 0.0
+    config.params.dynamic_instability.nucleation_rate = 100.0
+    config.params.dynamic_instability.min_length = 0.3
+    config.params.dynamic_instability.bending_rigidity = 0.0025
+    config.params.dynamic_instability.radius = 0.025
+
+    radius = 0.5
+    sites = []
+    for k in range(4):
+        phi = 2 * np.pi * k / 4
+        sites += [radius * np.cos(phi), radius * np.sin(phi), 0.0]
+    config.bodies = [Body(shape="sphere", radius=radius, n_nodes=300,
+                          nucleation_sites=sites,
+                          precompute_file="body_precompute.npz")]
+    fib = Fiber(length=0.5, n_nodes=8, bending_rigidity=0.0025,
+                parent_body=0, parent_site=0)
+    fib.fill_node_positions(np.array([radius, 0.0, 0.0]),
+                            np.array([1.0, 0.0, 0.0]))
+    config.fibers = [fib]
+    config.save("skelly_config.toml")
+    cfg = tomlio.load("skelly_config.toml")
+    precompute_body(cfg["bodies"][0])
+    s = System(cfg)
+    assert s._plan_init_fn is not None
+    n0 = s.fibers.n_fibers
+    for _ in range(4):
+        err, conv = s.step()
+        assert conv
+        s.time += s.dt
+    assert s.fibers.n_fibers > n0          # nucleation actually happened
+    # the new fibers forced in-step rebuilds (displacement monitor) and/or
+    # fresh seeds after capacity growth reset the carry; a silently-stale
+    # full-refresh run would show 1 seed and 0 rebuilds
+    assert s._plan_rebuilds + (s._plan_seeds - 1) >= 1, \
+        (s._plan_rebuilds, s._plan_seeds)
