@@ -338,7 +338,7 @@ def main():
         crossover = {}
         oocyte = {}
 
-    print(json.dumps({
+    record = {
         "metric": "pairwise stokeslet interactions/s/chip (f32 on-chip, chained-loop timing, vs f64 XLA-CPU baseline)",
         "value": value,
         "unit": "interactions/s",
@@ -351,7 +351,26 @@ def main():
                      for kk, vv in v.items()}
             for k, v in crossover.items()},
         "oocyte_reference_config": oocyte,
-    }))
+    }
+    print(json.dumps(record))
+    # in-repo bookkeeping (VERDICT r3 #9): persist every bench run keyed by
+    # commit + device, so driver BENCH_r{N}.json files and session logs can
+    # never silently diverge from what the repo records
+    try:
+        import subprocess
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))
+                             ).stdout.strip() or "unknown"
+        dev_tag = "accel" if accel else "cpu"
+        rec_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "bench_records")
+        os.makedirs(rec_dir, exist_ok=True)
+        with open(os.path.join(rec_dir, f"bench_{sha}_{dev_tag}.json"),
+                  "w") as fh:
+            json.dump(record, fh, indent=1)
+    except Exception as e:           # bookkeeping must never fail the bench
+        print(f"bench record write skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
