@@ -62,16 +62,25 @@ def build_config(args):
     p.ewald_near_mxu = args.near_mxu
     p.ewald_near_poly = args.near_poly
 
-    envelope = {
-        "height": "0.5 * T * ((1 + 2*x/length)**p1) * ((1 - 2*x/length)**p2)"
-                  " * length",
-        "T": 0.72, "p1": 0.4, "p2": 0.2, "length": 7.5,
-        "lower_bound": -3.75, "upper_bound": 3.75,
-        "n_nodes_target": args.shell_nodes,
-    }
-    config.periphery = Periphery(shape="surface_of_revolution",
-                                 n_nodes=args.shell_nodes, envelope=envelope,
-                                 precompute_file="periphery_precompute.npz")
+    if args.shape == "ellipsoid":
+        # the reference's examples/ellipsoid config: 2000 fibers x 64 nodes
+        # on an a=7.8, b=c=4.16 ellipsoidal periphery with 8000 nodes
+        # (examples/ellipsoid/gen_config.py, skelly_config.py:548-550)
+        config.periphery = Periphery(shape="ellipsoid", a=7.8, b=4.16,
+                                     c=4.16, n_nodes=args.shell_nodes,
+                                     precompute_file="periphery_precompute.npz")
+    else:
+        envelope = {
+            "height": "0.5 * T * ((1 + 2*x/length)**p1) * ((1 - 2*x/length)**p2)"
+                      " * length",
+            "T": 0.72, "p1": 0.4, "p2": 0.2, "length": 7.5,
+            "lower_bound": -3.75, "upper_bound": 3.75,
+            "n_nodes_target": args.shell_nodes,
+        }
+        config.periphery = Periphery(shape="surface_of_revolution",
+                                     n_nodes=args.shell_nodes,
+                                     envelope=envelope,
+                                     precompute_file="periphery_precompute.npz")
     config.fibers = [Fiber(length=1.0, bending_rigidity=2.5e-3,
                            force_scale=-0.05, minus_clamped=True,
                            n_nodes=args.fiber_nodes)
@@ -128,6 +137,10 @@ def main(argv=None):
                     help="device-built matrix-free shell operator + bf16 "
                          "NS-inverse preconditioner (the >=1e6-point "
                          "regime: stored dense operators would not fit)")
+    ap.add_argument("--shape", default="revolution",
+                    choices=["revolution", "ellipsoid"],
+                    help="periphery shape: the oocyte revolution envelope "
+                         "or the examples/ellipsoid a=7.8,b=c=4.16 surface")
     ap.add_argument("--plan-skin", type=float, default=None,
                     help="params.ewald_plan_skin override (fraction of "
                          "r_cut; 0 = rebuild plans every step)")

@@ -95,3 +95,14 @@ run walls_ewald_skin01 3600 python scripts/bench_oocyte.py --evaluator ewald \
     --plan-skin 0.1 --ds-min 0.1 --shell-nodes 6000 --steps 6 \
     --workdir "$WORKWALL"
 echo "[chip_session7] appended legs done $(date +%T)"
+
+# appended: the reference's SECOND flagship example (examples/ellipsoid:
+# 2000 fibers x 64 nodes + 8000-node ellipsoidal periphery, 536k DOF) —
+# BASELINE.md metric 2 coverage beyond the oocyte
+run ellipsoid_pallas 3600 python scripts/bench_oocyte.py --shape ellipsoid \
+    --no-walls --fibers 2000 --fiber-nodes 64 --shell-nodes 8000 \
+    --ds-min 0.1 --evaluator pallas --steps 4 --workdir /tmp/bench_ellipsoid
+run ellipsoid_ewald 3600 python scripts/bench_oocyte.py --shape ellipsoid \
+    --no-walls --fibers 2000 --fiber-nodes 64 --shell-nodes 8000 \
+    --ds-min 0.1 --evaluator ewald --steps 4 --workdir /tmp/bench_ellipsoid
+echo "[chip_session7] ellipsoid legs done $(date +%T)"
