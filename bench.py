@@ -28,7 +28,13 @@ import numpy as np
 
 
 def _chain_bench(kernel, n, K, device, dtype):
-    """Mean seconds per kernel application over a K-chain."""
+    """Mean seconds per kernel application over a K-chain.
+
+    Times a K-deep and a 2K-deep dependency chain and uses the DIFFERENCE:
+    fixed per-call overhead (remote dispatch, tunnel RTT, the scalar
+    readback) is identical in both and cancels. On the tunneled TPU
+    backend that overhead is ~20-40 ms per call — it inflated the round-3
+    single-chain headline ~3× at n=8192 (3.36e10 vs ~9e10 pairs/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -36,17 +42,25 @@ def _chain_bench(kernel, n, K, device, dtype):
     a = jax.device_put(jnp.asarray(rng.uniform(-1, 1, (n, 3)), dtype), device)
     f = jax.device_put(jnp.asarray(rng.normal(size=(n, 3)), dtype), device)
 
-    @jax.jit
-    def run(a, f):
-        def body(i, u):
-            return kernel(a, 1e-3 * u + f, a)
-        return jnp.sum(jax.lax.fori_loop(0, K, body, f))
+    def make(k):
+        @jax.jit
+        def run(a, f):
+            def body(i, u):
+                return kernel(a, 1e-3 * u + f, a)
+            return jnp.sum(jax.lax.fori_loop(0, k, body, f))
+        return run
 
-    float(run(a, f))  # compile + warm
+    run1, run2 = make(K), make(2 * K)
+    assert np.isfinite(float(run1(a, f)))  # compile + warm
+    assert np.isfinite(float(run2(a, f)))
     t0 = time.perf_counter()
-    s = float(run(a, f))
+    s = float(run1(a, f))
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = float(run2(a, f))
+    dt2 = time.perf_counter() - t0
     assert np.isfinite(s)
-    return (time.perf_counter() - t0) / K
+    return max(dt2 - dt1, 1e-12) / K
 
 
 def _bench_system_step(n_fibers=64, n_nodes=32, evaluator="direct"):
@@ -101,16 +115,22 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
         if n <= 300000:   # dense beyond 3e5 ≈ tens of seconds/apply
             k = lambda a, f, t: stokeslet_apply_pallas(a, f, t, 1.0)
 
-            @jax.jit
-            def run_d(a, f):
-                def body(i, u):
-                    return k(a, 1e-3 * u + f, a)
-                return jnp.sum(jax.lax.fori_loop(0, 3, body, f))
+            def make_d(reps):
+                @jax.jit
+                def run_d(a, f):
+                    def body(i, u):
+                        return k(a, 1e-3 * u + f, a)
+                    return jnp.sum(jax.lax.fori_loop(0, reps, body, f))
+                return run_d
 
-            float(run_d(r, fv))
+            d1, d2 = make_d(3), make_d(6)
+            float(d1(r, fv)), float(d2(r, fv))
             t0 = time.perf_counter()
-            float(run_d(r, fv))
-            row["dense_s"] = (time.perf_counter() - t0) / 3
+            float(d1(r, fv))
+            dt1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(d2(r, fv))
+            row["dense_s"] = max(time.perf_counter() - t0 - dt1, 1e-12) / 3
         else:
             row["dense_s"] = None
         a_split = 1.5 * L / n ** (1.0 / 3.0)
@@ -134,19 +154,26 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
         plan = ew.make_near_plan(r, r)
         far_plan = ew.make_far_plan(r, r)
 
-        @jax.jit
-        def run_e(r_, f_, sp_):
-            def body(i, acc):
-                u = ew.apply_with(sp_, r_, f_ + acc * 1e-30, r_, 1.0,
-                                  plan=plan, far_plan=far_plan)
-                return jnp.sum(u) * 1e-30
-            return jax.lax.fori_loop(0, 3, body, jnp.asarray(0.0, jnp.float32))
+        def make_e(reps):
+            @jax.jit
+            def run_e(r_, f_, sp_):
+                def body(i, acc):
+                    u = ew.apply_with(sp_, r_, f_ + acc * 1e-3, r_, 1.0,
+                                      plan=plan, far_plan=far_plan)
+                    return jnp.sum(u) * 1e-8
+                return jax.lax.fori_loop(0, reps, body,
+                                         jnp.asarray(0.0, jnp.float32))
+            return run_e
 
         try:
-            float(run_e(r, fv, sp))
+            e1, e2 = make_e(3), make_e(6)
+            float(e1(r, fv, sp)), float(e2(r, fv, sp))
             t0 = time.perf_counter()
-            float(run_e(r, fv, sp))
-            row["ewald_s"] = (time.perf_counter() - t0) / 3
+            float(e1(r, fv, sp))
+            dt1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(e2(r, fv, sp))
+            row["ewald_s"] = max(time.perf_counter() - t0 - dt1, 1e-12) / 3
         except Exception as e:
             print(f"  ewald n={n} failed: {type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
@@ -247,17 +274,24 @@ def main():
             q = jax.device_put(jnp.asarray(rng.normal(size=(n_, 3)), dtype), device)
             nrm = jax.device_put(jnp.asarray(rng.normal(size=(n_, 3)), dtype), device)
 
-            @jax.jit
-            def run(r, q):
-                def body(i, u):
-                    S = nrm[:, :, None] * (q + 1e-3 * u)[:, None, :]
-                    return stresslet_apply_pallas(r, S, r, 1.0)
-                return jnp.sum(jax.lax.fori_loop(0, K, body, q))
+            def make(k):
+                @jax.jit
+                def run(r, q):
+                    def body(i, u):
+                        S = nrm[:, :, None] * (q + 1e-3 * u)[:, None, :]
+                        return stresslet_apply_pallas(r, S, r, 1.0)
+                    return jnp.sum(jax.lax.fori_loop(0, k, body, q))
+                return run
 
-            float(run(r, q))
+            run1, run2 = make(K), make(2 * K)
+            float(run1(r, q)), float(run2(r, q))
             t0 = time.perf_counter()
-            float(run(r, q))
-            return (time.perf_counter() - t0) / K
+            float(run1(r, q))
+            dt1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(run2(r, q))
+            dt2 = time.perf_counter() - t0
+            return max(dt2 - dt1, 1e-12) / K
 
         try:
             dt_str = _stresslet_chain(n, 10, dev, jnp.float32)

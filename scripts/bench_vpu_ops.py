@@ -13,16 +13,21 @@ repeated executions were then eliminated/overlapped somewhere in the
 remote-dispatch path.
 
 This version:
-  * feeds back at 1e-3 relative (result genuinely changes per rep, then
-    rescales) so no stage can be skipped,
-  * times the PRODUCTION wrapper with the same chained-loop methodology
-    as a cross-check row,
-  * REFUSES to report slot prices when any measured rate exceeds the
-    analytic slot bound (prints measurement_valid=false instead),
+  * reduces every chain to ONE scalar and reads it back with float() —
+    on the tunneled backend block_until_ready measures only dispatch,
+  * times a K-deep and a 2K-deep chain and uses the DIFFERENCE, so the
+    ~25 ms per-call overhead (tunnel RTT + dispatch + readback) cancels,
+  * CALIBRATES the VPU rate empirically (_measure_vpu_peak) instead of
+    assuming a lane count — the first valid chip run showed the old
+    "937.5 MHz × 1024 lanes" peak and the 23-slot/pair analytic budget
+    are BOTH wrong (the production kernel sustains 8.6e10 pairs/s ≈
+    2.6 TFLOP/s, over the assumed 1.92 peak; FMA fusion shrinks budgets),
+  * gates validity on marginal-repeat stability (an elided chain shows up
+    as a near-zero or irreproducible margin), withholding prices otherwise,
   * A/Bs the stresslet's round-3 select change (single-select vs the
-    original double-where) to settle the 63.0→60.3 MFU regression.
+    original double-where) to settle the supposed 63.0→60.3 regression.
 
-Prints one JSON line. See docs/roofline.md for the slot budgets.
+Prints one JSON line. See docs/roofline.md.
 """
 
 from __future__ import annotations
@@ -44,10 +49,49 @@ from skellysim_tpu.kernels.pallas_tpu import (CHUNK_S, TILE_T, _prep_soa,
                                               stokeslet_apply_pallas,
                                               stresslet_apply_pallas)
 
-_SLOTS_PER_S = 0.96e12   # 940 MHz × 1024 lanes (each slot = 1 op ≤ 2 flops)
-# analytic slot budgets (docs/roofline.md): ops per pair in the inner loop
-_SLOTS = {"full": 23.0, "noselect": 22.0, "norsqrt": 21.0,
-          "stresslet_single_select": 32.0, "stresslet_double_where": 33.0}
+def _measure_vpu_peak():
+    """MEASURE the VPU slot rate with a pure elementwise chain instead of
+    assuming a lane count (the round-3/4 confusion: 937.5 MHz × 1024 lanes
+    = 0.96e12 slots/s sat ~4× UNDER clean measurements — consistent with
+    multiple VPU ALUs per lane position; the spec is not public, so
+    calibrate empirically). The chain is the logistic-type recurrence
+    x ← x·(c − d·x) — nonlinear, so no compiler can compose iterations —
+    over a VMEM-resident Pallas block (no HBM traffic inside the loop):
+    2 slots (1 mul + 1 FMA) per element per iteration. The 2K−K difference
+    cancels dispatch/readback. Returns (slots_per_s, rtt_s)."""
+    m_rows, m_cols = 256, 2048                           # 2 MiB f32
+    m = m_rows * m_cols
+    x0 = jnp.linspace(0.5, 1.5, m, dtype=jnp.float32).reshape(m_rows, m_cols)
+    c = 1.000001
+    d = 3e-7
+
+    def make(k):
+        assert k % 8 == 0 or k == 1
+
+        def kern(x_ref, o_ref):
+            def body(i, x):
+                for _ in range(8 if k > 1 else 1):  # manual unroll (Pallas
+                    x = x * (c - d * x)             # fori_loop lacks unroll=)
+                return x
+            o_ref[...] = jax.lax.fori_loop(0, max(k // 8, 1), body,
+                                           x_ref[...])
+
+        @jax.jit
+        def go():
+            y = pl.pallas_call(
+                kern, out_shape=jax.ShapeDtypeStruct((m_rows, m_cols),
+                                                     jnp.float32),
+            )(x0)
+            return jnp.sum(y)
+
+        return go
+
+    # fixed per-call overhead (dispatch + tunnel RTT + scalar readback),
+    # reported for the init/step attribution tables
+    t_rtt = _time_scalar(make(1))
+    k = 2048
+    rate, _ = _chain_rate(make, k, float(m) * 2.0)       # 2 slots/elem/iter
+    return rate, t_rtt
 
 
 def _stokeslet_variant(variant, src_ref, f_ref, trg_ref, out_ref):
@@ -143,7 +187,10 @@ def _stresslet_variant(variant, src_ref, s_ref, trg_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("variant", "reps", "kind"))
 def _run(variant, src, payload, trg, reps=8, kind="stokeslet"):
     with jax.enable_x64(False):
-        return _run_inner(variant, src, payload, trg, reps, kind)
+        # reduce to ONE scalar so the caller's float() readback forces the
+        # whole chain to execute (block_until_ready alone measures only
+        # dispatch on remote/tunneled backends — the round-3 failure mode)
+        return jnp.sum(_run_inner(variant, src, payload, trg, reps, kind))
 
 
 def _run_inner(variant, src, payload, trg, reps, kind):
@@ -178,19 +225,35 @@ def _run_inner(variant, src, payload, trg, reps, kind):
     return u
 
 
-def _time(fn, *args, **kw):
-    u = fn(*args, **kw)
-    jax.block_until_ready(u)
+def _time_scalar(fn):
+    """Seconds per call of a jitted scalar-returning thunk, forcing a host
+    readback of the fresh result every call (float() on a NEW scalar each
+    time — a cached .item() on a reused array measures nothing)."""
+    s = float(fn())  # compile + warm
+    assert np.isfinite(s), "non-finite chain result"
     t0 = time.perf_counter()
     for _ in range(3):
-        u = fn(*args, **kw)
-    jax.block_until_ready(u)
+        float(fn())
     return (time.perf_counter() - t0) / 3
+
+
+def _chain_rate(make_fn, reps, pairs_per_rep):
+    """Pairs/s from the DIFFERENCE of a 2K-deep and a K-deep chain: fixed
+    per-call overhead (remote dispatch, tunnel RTT, scalar readback) is
+    identical in both and cancels, leaving K chained applications of pure
+    device time. Returns (rate, dt_marginal_per_rep)."""
+    dt1 = _time_scalar(make_fn(reps))
+    dt2 = _time_scalar(make_fn(2 * reps))
+    marginal = max(dt2 - dt1, 1e-12) / reps
+    return pairs_per_rep / marginal, marginal
 
 
 def main():
     n = 8192
-    reps = 8
+    # chain depth: the K and 2K marginals must dwarf the ~25 ms per-call
+    # overhead's run-to-run noise (K=8 gave ~5 ms marginals → ~20% noise
+    # and rate inversions between variants; K=64 gives ~40 ms marginals)
+    reps = 64
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1, 1, (n, 3))
     frc = rng.normal(size=(n, 3))
@@ -198,19 +261,39 @@ def main():
     src = _prep_soa(jnp.asarray(pts), n)
     f = _prep_soa(jnp.asarray(frc), n)
     s9 = _prep_soa(jnp.asarray(S9), n)
-    trg = src
+    # distinct target cloud: the unguarded timing variants (noselect /
+    # norsqrt) would hit rsqrt(0)=inf on exact self-pairs, and the scalar
+    # readback now ASSERTS finiteness (that assertion is the elision guard)
+    trg = _prep_soa(jnp.asarray(pts + 0.0137), n)
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+    slots_per_s, rtt_s = _measure_vpu_peak()
+    print(f"measured VPU slot rate: {slots_per_s:.3e} slots/s "
+          f"(per-call overhead {rtt_s*1e3:.1f} ms)", file=sys.stderr)
     out = {"n": n, "reps": reps, "device": str(dev),
-           "slots_per_s_assumed": _SLOTS_PER_S}
-    pairs = float(n) * n * reps
+           "slots_per_s_measured": round(slots_per_s, 0),
+           "per_call_overhead_s": round(rtt_s, 5)}
 
-    # cross-check row: the production wrapper, chained via host loop
-    r = jnp.asarray(pts)
-    fr = jnp.asarray(frc)
-    dt_prod = _time(lambda: stokeslet_apply_pallas(r, fr, r))
-    out["production_pairs_per_s"] = round(n * n / dt_prod, 0)
+    # cross-check row: the production wrapper in a dependency chain (the
+    # same methodology as bench.py's headline, via the 2K−K difference)
+    r = jnp.asarray(pts, jnp.float32)
+    fr = jnp.asarray(frc, jnp.float32)
+
+    def make_prod(k):
+        @jax.jit
+        def go():
+            def body(i, u):
+                return stokeslet_apply_pallas(r, 1e-3 * u + fr, r)
+            return jnp.sum(jax.lax.fori_loop(0, k, body, fr))
+        return go
+
+    _, pm_a = _chain_rate(make_prod, 64, float(n) * n)
+    _, pm_b = _chain_rate(make_prod, 64, float(n) * n)
+    out["production_pairs_per_s"] = round(float(n) * n * 2.0
+                                          / (pm_a + pm_b), 0)
+    out["production_repeat_spread"] = round(
+        abs(pm_a - pm_b) * 2.0 / (pm_a + pm_b), 3)
 
     valid = True
     rows = [("stokeslet", "full", f), ("stokeslet", "noselect", f),
@@ -218,25 +301,41 @@ def main():
             ("stresslet", "stresslet_single_select", s9),
             ("stresslet", "stresslet_double_where", s9)]
     for kind, variant, payload in rows:
-        dt = _time(_run, variant, src, payload, trg, reps=reps, kind=kind)
-        rate = pairs / dt
-        bound = _SLOTS_PER_S / _SLOTS[variant]
-        out[variant + "_s"] = round(dt, 5)
-        out[variant + "_pairs_per_s"] = round(rate, 0)
+        def make_variant(k, kind=kind, variant=variant, payload=payload):
+            return lambda: _run(variant, src, payload, trg, reps=k, kind=kind)
+
+        # validity = REPRODUCIBILITY of the marginal, not an analytic slot
+        # bound: the r4 chip measurements proved the 23-slot budget itself
+        # over-counts (FMA fusion) and the "937.5 MHz × 1024 lanes" peak
+        # undershoots the hardware — so a bound check cannot gate validity.
+        # An elided chain shows up as a near-zero or irreproducible margin.
+        rate_a, marg_a = _chain_rate(make_variant, reps, float(n) * n)
+        rate_b, marg_b = _chain_rate(make_variant, reps, float(n) * n)
+        marginal = 0.5 * (marg_a + marg_b)
+        spread = abs(marg_a - marg_b) / marginal
+        out[variant + "_s"] = round(marginal, 6)
+        out[variant + "_pairs_per_s"] = round(float(n) * n / marginal, 0)
+        out[variant + "_repeat_spread"] = round(spread, 3)
         out[variant + "_slots_per_pair_measured"] = round(
-            _SLOTS_PER_S / rate, 2)
-        if rate > 1.05 * bound:
+            slots_per_s * marginal / (float(n) * n), 2)
+        if spread > 0.15 or marginal < 1e-5:
             valid = False
     out["measurement_valid"] = valid
     if valid:
-        out["select_slots_per_pair"] = round(
-            (out["full_s"] - out["noselect_s"]) / pairs * _SLOTS_PER_S, 2)
-        out["rsqrt_slots_per_pair"] = round(
-            (out["noselect_s"] - out["norsqrt_s"]) / pairs * _SLOTS_PER_S, 2)
+        # prices as TIME per pair (ps/pair) — the *_s rows are marginal
+        # seconds per ONE n×n application
+        ps = 1e12 / (float(n) * n)
+        out["select_ps_per_pair"] = round(
+            (out["full_s"] - out["noselect_s"]) * ps, 3)
+        out["rsqrt_ps_per_pair"] = round(
+            (out["noselect_s"] - out["norsqrt_s"]) * ps, 3)
+        out["stresslet_select_ab_ps_per_pair"] = round(
+            (out["stresslet_double_where_s"]
+             - out["stresslet_single_select_s"]) * ps, 3)
     else:
-        out["note"] = ("a measured rate exceeds the analytic slot bound: "
-                       "the chain is being elided — prices withheld "
-                       "(this is what invalidated the round-3 numbers)")
+        out["note"] = ("a marginal failed the repeat-stability gate: "
+                       "prices withheld (an elided chain shows up as a "
+                       "near-zero or irreproducible margin)")
     print(json.dumps(out))
 
 

@@ -34,6 +34,22 @@ from skellysim_tpu.system import fiber_system as fs
 from skellysim_tpu.system.sources import BackgroundFlow, PointSources
 from skellysim_tpu.utils.rng import RNG
 
+
+def _sys_jit(fun):
+    """jax.jit with an optional scoped-vmem override.
+
+    XLA:TPU budgets 16 MiB of "scoped" VMEM for per-op scratch; the compile
+    of the ≥1e6-point step exceeds it inside a prefix-scan fusion of the
+    slab/cell binning sorts (observed: reduce-window scratch 19.1 MiB >
+    16 MiB, chip log r4a/oocyte_1m.err). SKELLY_XLA_SCOPED_VMEM_KIB raises
+    the budget per-compile via PJRT compiler options — the supported knob
+    for exactly this — without touching smaller configs' defaults."""
+    kib = os.environ.get("SKELLY_XLA_SCOPED_VMEM_KIB")
+    if kib:
+        return jax.jit(fun, compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": int(kib)})
+    return jax.jit(fun)
+
 logger = logging.getLogger("skellysim_tpu")
 
 
@@ -668,7 +684,7 @@ class System:
                               r_all[r_all.shape[0] - Nb:], r_all))
             return specs
 
-        @jax.jit
+        @_sys_jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
                     dt, time, ewald_state=None, plan_state=None):
             ev_stk, ev_str = ev_stk0, ev_str0
@@ -1050,7 +1066,7 @@ class System:
             return out + (dbg,) if _debug_solve else out
 
         if plan_reuse:
-            @jax.jit
+            @_sys_jit
             def plan_init_fn(blocks, shell_state, body_states):
                 """Initial Verlet-skin plan state for the CURRENT geometry
                 (step_fn then refreshes/rebuilds it in-step via the
@@ -1093,7 +1109,7 @@ class System:
         meridian = (jnp.asarray(self.shell.meridian, self.dtype)
                     if self.shell.meridian is not None else None)
 
-        @jax.jit
+        @_sys_jit
         def collide(blocks):
             hits = []
             for b in blocks:
@@ -1154,7 +1170,7 @@ class System:
 
         force_types = tuple(self.bodies.force_types())
 
-        @jax.jit
+        @_sys_jit
         def vel_fn(blocks, shell_state, body_states, point_sources, background,
                    sol, r_trg, time, ewald_state=None):
             from skellysim_tpu.fibers import fd_fiber as ff
