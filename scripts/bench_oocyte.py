@@ -146,6 +146,15 @@ def main(argv=None):
                          "r_cut; 0 = rebuild plans every step)")
     ap.add_argument("--ds-min", type=float, default=0.03,
                     help="minimum fiber spacing on the periphery surface")
+    ap.add_argument("--shell-build", default="device",
+                    choices=["device", "npz"],
+                    help="dense-shell operator provenance: 'device' builds "
+                         "A/M_inv on chip from O(N) geometry (Newton-Schulz "
+                         "inverse; ~seconds), 'npz' mirrors the reference "
+                         "workflow (offline f64 precompute, then ships the "
+                         "two (3N)^2 dense operators host->device — 1.8-4.6 "
+                         "GB over the tunnel, 30-180 s of init in the "
+                         "session-7 legs)")
     ap.add_argument("--workdir", default=".bench_oocyte")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); the env var "
@@ -175,6 +184,10 @@ def main(argv=None):
         # device-built shell, no stored dense operators, bf16 precond
         cfg["periphery"]["build_on_device"] = True
         cfg["periphery"]["matrix_free"] = True
+    elif args.shell_build == "device":
+        # dense operators assembled + NS-inverted on chip from the O(N)
+        # geometry — avoids shipping 2x(3N)^2 floats over the tunnel
+        cfg["periphery"]["build_on_device"] = True
     else:
         from skellysim_tpu.precompute.main import precompute_periphery
         # mutates cfg["periphery"]["n_nodes"] to the realized mesh size; the
