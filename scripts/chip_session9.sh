@@ -32,6 +32,14 @@ run tune_oocyte_skin10 3600 python scripts/bench_ewald_tune.py \
     --fibers 3000 --fiber-nodes 32 --shell-nodes 6000 --ds-min 0.1 \
     --a-scales 0.7,1.0,1.4,2.0 --skin 0.10
 
+# leg 0b: near-field kernel variants at the default split point
+run tune_oocyte_poly 3600 python scripts/bench_ewald_tune.py \
+    --fibers 3000 --fiber-nodes 32 --shell-nodes 6000 --ds-min 0.1 \
+    --a-scales 1.0,1.4 --skin 0.10 --near-poly
+run tune_oocyte_mxu 3600 python scripts/bench_ewald_tune.py \
+    --fibers 3000 --fiber-nodes 32 --shell-nodes 6000 --ds-min 0.1 \
+    --a-scales 1.0,1.4 --skin 0.10 --near-mxu
+
 # leg 1: stresslet select decider (3 independent runs)
 run vpu_ops_a 1800 python scripts/bench_vpu_ops.py
 run vpu_ops_b 1800 python scripts/bench_vpu_ops.py

@@ -46,8 +46,14 @@ def _sys_jit(fun):
     for exactly this — without touching smaller configs' defaults."""
     kib = os.environ.get("SKELLY_XLA_SCOPED_VMEM_KIB")
     if kib:
-        return jax.jit(fun, compiler_options={
-            "xla_tpu_scoped_vmem_limit_kib": int(kib)})
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # noqa: BLE001 — backend probe must not break import
+            platform = "cpu"
+        # TPU-only compile option; CPU/GPU backends reject unknown options
+        if platform not in ("cpu", "gpu", "cuda", "rocm"):
+            return jax.jit(fun, compiler_options={
+                "xla_tpu_scoped_vmem_limit_kib": int(kib)})
     return jax.jit(fun)
 
 logger = logging.getLogger("skellysim_tpu")
@@ -368,6 +374,7 @@ class System:
             return self._ewald_pair
         from skellysim_tpu.kernels.ewald import EwaldStokeslet, EwaldStresslet
 
+        _t = _walltime.perf_counter()
         geom = [fs.positions(self.fibers.blocks)]
         if self.shell is not None:
             geom.append(self.shell.state.nodes)
@@ -376,6 +383,12 @@ class System:
             geom.append(bcont.positions(caches))
         pts = [np.asarray(g).reshape(-1, 3) for g in geom if np.size(g)]
         allp = np.concatenate(pts, axis=0) if pts else np.zeros((1, 3))
+        # the np.asarray pulls block on every queued device op (fiber repin,
+        # the matrix-free shell build) — this timer attributes that backlog
+        # (1M-run init mystery: ~530 s inside this phase, r4b logs)
+        if _walltime.perf_counter() - _t > 1.0:
+            logger.info("ewald geometry gather (incl. queued device work): "
+                        "%.2fs", _walltime.perf_counter() - _t)
         if self.params.ewald_box is not None:
             lo, hi = (np.asarray(v, np.float64) for v in self.params.ewald_box)
         else:
@@ -1109,7 +1122,10 @@ class System:
         meridian = (jnp.asarray(self.shell.meridian, self.dtype)
                     if self.shell.meridian is not None else None)
 
-        @_sys_jit
+        # plain jit: collide only ever runs NESTED inside step_fn, and JAX
+        # rejects compiler_options on non-top-level jits (the 1M chip run
+        # died on exactly this, chip_logs r4b/oocyte_1m)
+        @jax.jit
         def collide(blocks):
             hits = []
             for b in blocks:
