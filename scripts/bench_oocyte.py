@@ -61,6 +61,8 @@ def build_config(args):
         p.ewald_cut_in_a = args.cut_in_a
     p.ewald_near_mxu = args.near_mxu
     p.ewald_near_poly = args.near_poly
+    if args.gmres_restart is not None:
+        p.gmres_restart = args.gmres_restart
 
     if args.shape == "ellipsoid":
         # the reference's examples/ellipsoid config: 2000 fibers x 64 nodes
@@ -146,6 +148,12 @@ def main(argv=None):
                          "r_cut; 0 = rebuild plans every step)")
     ap.add_argument("--ds-min", type=float, default=0.03,
                     help="minimum fiber spacing on the periphery surface")
+    ap.add_argument("--gmres-restart", type=int, default=None,
+                    help="params.gmres_restart override. The auto cap sizes "
+                         "the Krylov basis from HBM (15%%), which at 1M "
+                         "points allocates 2 GB the tol-1e-4 solve (0-5 "
+                         "iters/step) never touches — the r4b retry OOMed "
+                         "at compile by 2.8 GB with it")
     ap.add_argument("--shell-build", default="device",
                     choices=["device", "npz"],
                     help="dense-shell operator provenance: 'device' builds "

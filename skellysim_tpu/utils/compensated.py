@@ -181,6 +181,12 @@ def accurate_log(x):
     t¹¹ truncation term is < 4e-10) plus k·ln2 accumulated as a split
     high/low constant product.
     """
+    if jnp.dtype(jnp.result_type(x)) == jnp.float64:
+        # f64 log is already ~1 ulp on CPU, and the f64 frexp path lowers
+        # to an s64 bitcast the TPU X64-rewriter cannot handle (it killed
+        # the driver's entry() compile check on the axon chip) — the series
+        # repair below is only needed for the TPU's ~4e-6 f32 log
+        return jnp.log(x)
     m, k = jnp.frexp(x)                      # m ∈ [0.5, 1)
     lo_half = m < 0.7071067811865476
     m = jnp.where(lo_half, 2.0 * m, m)       # m ∈ [√2/2, √2)
