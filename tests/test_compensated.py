@@ -103,3 +103,25 @@ def test_dd_matvec_cancellation():
     # plain f32 evaluation loses these digits entirely; dd keeps them to
     # the f32 representation error of b itself
     np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(bx).max())
+
+
+def test_accurate_log_f32_series_accuracy():
+    """The f32 series path: ~1-ulp against f64 np.log (the TPU's native f32
+    log is only ~4e-6 — the reason this function exists)."""
+    x = jnp.asarray(RNG.uniform(1e-6, 1e6, 4096), jnp.float32)
+    got = np.asarray(cp.accurate_log(x), np.float64)
+    want = np.log(np.asarray(x, np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-7)
+
+
+def test_accurate_log_f64_native_fallback():
+    """f64 inputs take the native-log branch (regression: the f64 frexp
+    path lowers to an s64 bitcast that XLA:TPU's X64 rewriter rejects,
+    which broke the driver's on-chip entry() compile check; r4 commit)."""
+    x = jnp.asarray(RNG.uniform(1e-6, 1e6, 1024), jnp.float64)
+    got = np.asarray(cp.accurate_log(x))
+    want = np.log(np.asarray(x))
+    np.testing.assert_allclose(got, want, rtol=5e-16)
+    # and it must be jittable without frexp appearing in the HLO
+    hlo = jax.jit(cp.accurate_log).lower(x).as_text()
+    assert "bitcast" not in hlo.lower()
