@@ -798,6 +798,12 @@ def _irfftn_staged(uh, shape, logical):
     return jnp.fft.irfft(u, n=P2, axis=nb + 2)[..., :L2]
 
 
+# padded-cell count above which the k-space convolves run one component at
+# a time behind optimization barriers (half-grids are 0.3+ GB there; letting
+# XLA co-schedule all component FFTs OOMed the 1M-point compile by 3 GB)
+_SEQ_CONVOLVE_CELLS = 60_000_000
+
+
 @partial(jax.jit, static_argnames=("shape", "logical"))
 def _far_convolve_logical(g_log, khat_ri, shape, logical):
     """Stokeslet k-space convolve, channel-at-a-time.
@@ -813,18 +819,35 @@ def _far_convolve_logical(g_log, khat_ri, shape, logical):
     above that the channel loop bounds peak memory.
     """
     L0, L1, L2 = logical
-    batch = int(np.prod(shape)) <= 20_000_000
-    if batch:
-        fh3 = _rfftn_staged(g_log, shape, logical)
-        fh = [fh3[c] for c in range(3)]
-    else:
-        fh = [_rfftn_staged(g_log[c], shape, logical) for c in range(3)]
+    cells = int(np.prod(shape))
+    batch = cells <= 20_000_000
 
     def K(i):
         # real spectrum (see EwaldGrid.khat): real × complex products
         return khat_ri[i]
 
     rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
+    if cells > _SEQ_CONVOLVE_CELLS:
+        # ≥1e6-point grids: one force channel in flight at a time. XLA's
+        # scheduler happily front-loads all three channel FFTs (each
+        # half-grid is ~0.3-0.6 GB at these shapes) — the optimization
+        # barrier after each channel pins the live set to the 3 output
+        # accumulators + 1 channel transform (the 1M-run compile OOMed
+        # by 3 GB without it, chip_logs r4b2)
+        uhs = [jnp.zeros(0) for _ in range(3)]
+        for c in range(3):
+            fh_c = _rfftn_staged(g_log[c], shape, logical)
+            for i in range(3):
+                term = K(rows[i][c]) * fh_c
+                uhs[i] = term if c == 0 else uhs[i] + term
+            uhs = list(jax.lax.optimization_barrier(tuple(uhs)))
+        return jnp.stack([_irfftn_staged(uh, shape, logical).astype(
+            g_log.dtype) for uh in uhs])
+    if batch:
+        fh3 = _rfftn_staged(g_log, shape, logical)
+        fh = [fh3[c] for c in range(3)]
+    else:
+        fh = [_rfftn_staged(g_log[c], shape, logical) for c in range(3)]
     uhs = []
     for i in range(3):
         uhs.append(K(rows[i][0]) * fh[0] + K(rows[i][1]) * fh[1]
@@ -852,6 +875,35 @@ def _far_stresslet_convolve_logical(D_log, khat_ri, phihat_ri, shape,
     # channel c ↔ (i, j) of the symmetric dipole; off-diagonals appear in
     # two M components, diagonals in one plus the trace
     comp = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+
+    def K(i):
+        return khat_ri[i]   # real spectrum (see EwaldGrid.khat)
+
+    phihat = phihat_ri
+    sym = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 1): 3, (1, 2): 4, (2, 2): 5}
+    rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
+    if int(np.prod(shape)) > _SEQ_CONVOLVE_CELLS:
+        # ≥1e6-point grids: expand uh_a = 2·Σ_b K(a,b)·M_b + k_a·φ̂·trD per
+        # dipole component and accumulate the 3 OUTPUT spectra directly —
+        # the same sum reordered — so only one D̂_c is ever in flight. The
+        # optimization barrier stops XLA from co-scheduling the six
+        # component FFTs (the M-accumulator form kept ~17 half-grid temps
+        # alive and OOMed the 1M-point compile by 3 GB, chip_logs r4b2).
+        uhs = [jnp.zeros(0) for _ in range(3)]
+        for c, (i, j) in enumerate(comp):
+            Dh = _rfftn_staged(D_log[c], shape, logical)
+            for a in range(3):
+                term = 2.0 * K(sym[tuple(sorted((a, i)))]) * (kvec[j] * Dh)
+                if i != j:
+                    term = term + 2.0 * K(sym[tuple(sorted((a, j)))]) * (
+                        kvec[i] * Dh)
+                else:
+                    term = term + kvec[a] * phihat * Dh
+                uhs[a] = term if c == 0 else uhs[a] + term
+            uhs = list(jax.lax.optimization_barrier(tuple(uhs)))
+        return jnp.stack([
+            _irfftn_staged(1j * uh, shape, logical).astype(rdt)
+            for uh in uhs])
     M = [0.0, 0.0, 0.0]
     trD = 0.0
     for c, (i, j) in enumerate(comp):
@@ -862,11 +914,6 @@ def _far_stresslet_convolve_logical(D_log, khat_ri, phihat_ri, shape,
         else:
             trD = trD + Dh
 
-    def K(i):
-        return khat_ri[i]   # real spectrum (see EwaldGrid.khat)
-
-    phihat = phihat_ri
-    rows = [(0, 1, 2), (1, 3, 4), (2, 4, 5)]
     out = []
     for i in range(3):
         uh = 2.0 * (K(rows[i][0]) * M[0] + K(rows[i][1]) * M[1]

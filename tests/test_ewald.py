@@ -246,3 +246,30 @@ def test_spectra_are_real_tuple_and_sized():
     # budget knob direction: growing a must shrink the spectra
     assert (ewald.spectra_bytes(lo, hi, 0.8, 2.5)
             < ewald.spectra_bytes(lo, hi, 0.4, 2.5))
+
+
+def test_sequential_convolve_matches_batch(monkeypatch):
+    """The ≥1e6-regime memory-bounded convolves (one component in flight
+    behind optimization barriers) must match the co-scheduled forms to
+    rounding: same sums reordered. Regression for the 1M-point compile OOM
+    (chip_logs r4b2: 17 co-resident half-grid temps, 3 GB over HBM)."""
+    import jax
+
+    monkeypatch.setenv("SKELLY_SLAB", "1")
+    rng = np.random.default_rng(3)
+    N = 400
+    r = jnp.asarray(rng.uniform(0, 3.0, (N, 3)), jnp.float32)
+    f = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    q = rng.normal(size=(N, 3))
+    S = jnp.asarray(q[:, :, None] * rng.normal(size=(N, 3))[:, None, :],
+                    jnp.float32)
+    stk = ewald.EwaldStokeslet(lo=[0, 0, 0], hi=[3, 3, 3], a=0.25,
+                               dtype=jnp.float32)
+    st = ewald.EwaldStresslet(grid=stk.grid, lo=[0, 0, 0], hi=[3, 3, 3],
+                              a=0.25, dtype=jnp.float32)
+    u0, v0 = np.asarray(stk.apply(r, f, r)), np.asarray(st.apply(r, S, r))
+    monkeypatch.setattr(ewald, "_SEQ_CONVOLVE_CELLS", 1)
+    jax.clear_caches()
+    u1, v1 = np.asarray(stk.apply(r, f, r)), np.asarray(st.apply(r, S, r))
+    assert np.abs(u1 - u0).max() <= 1e-6 * np.abs(u0).max()
+    assert np.abs(v1 - v0).max() <= 1e-6 * np.abs(v0).max()
