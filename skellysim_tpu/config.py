@@ -89,6 +89,7 @@ class Params:
     ewald_near_poly: bool = False                # FMA-only polynomial screened coefficients (A/B knob)
     ewald_plan_skin: float = 0.25                # Verlet plan-reuse skin as a fraction of r_cut (0 = rebuild plans every step)
     emulated_tol_scope: str = "rhs"              # emulated-precision tol scope: "rhs" (Belos parity) or "increment" (per-increment accuracy, more iterations)
+    fiber_precond_bf16: bool = False             # bf16 fiber block-Jacobi inverse (precond-only HBM lever for the >=1e6-point regime)
 
 
 @dataclass

@@ -588,6 +588,10 @@ def precondition(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:
     """y_b = A_b⁻¹ x_b via one batched matmul (see ``factorize``)."""
     B = cache.A_lu.shape[0]
     xb = x_all.reshape(B, -1)
+    if cache.A_lu.dtype == jnp.bfloat16:
+        y = jnp.einsum("bij,bj->bi", cache.A_lu, xb.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32).astype(x_all.dtype)
+        return y.reshape(-1)
     y = jnp.einsum("bij,bj->bi", cache.A_lu, xb)
     return y.reshape(-1)
 
@@ -923,6 +927,7 @@ def update_cache(
     v_on_fiber: Optional[jax.Array] = None,
     f_on_fiber: Optional[jax.Array] = None,
     ops_lo: Optional[FiberOperatorsLo] = None,
+    precond_bf16: bool = False,
 ) -> FiberBlockCache:
     """One-shot per-step cache build: derivatives → A → RHS → BCs → LU.
 
@@ -948,6 +953,13 @@ def update_cache(
     RHS_bc = jnp.where(act[:, None], RHS_bc, 0.0)
     F = jnp.where(act[:, None, None], F, 0.0)
     lu, piv = factorize(A_bc)
+    if precond_bf16:
+        # HBM lever for the ≥1e6-point regime: the explicit inverse is a
+        # right preconditioner only (see factorize), so bf16 entry rounding
+        # shifts convergence, never the solution — same argument as the
+        # matrix-free shell's bf16 M_inv (periphery/shell.py). Halves the
+        # (B, 4n, 4n) block, 0.95 GB at 31000×128².
+        lu = lu.astype(jnp.bfloat16)
     return FiberBlockCache(
         xs=xs, xss=xss, xsss=xsss, xssss=xssss, c0=c0, c1=c1,
         A=A_bc, A_lu=lu, A_piv=piv, force_operator=F, RHS=RHS_bc,

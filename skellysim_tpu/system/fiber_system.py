@@ -194,7 +194,7 @@ def split_solution(blocks: List[FiberBlock], x: jax.Array) -> List[jax.Array]:
 
 def update_caches(blocks, ops, eta, dt, bc_minus, bc_plus, flows, f_externals,
                   v_on_fibers=None, f_on_fibers=None,
-                  ops_lo=None) -> List[FiberBlockCache]:
+                  ops_lo=None, precond_bf16=False) -> List[FiberBlockCache]:
     caches = []
     for i, (b, op) in enumerate(zip(blocks, ops)):
         caches.append(ff.update_cache(
@@ -204,6 +204,7 @@ def update_caches(blocks, ops, eta, dt, bc_minus, bc_plus, flows, f_externals,
             v_on_fiber=None if v_on_fibers is None else v_on_fibers[i],
             f_on_fiber=None if f_on_fibers is None else f_on_fibers[i],
             ops_lo=None if ops_lo is None else ops_lo[i],
+            precond_bf16=precond_bf16,
         ))
     return caches
 

@@ -133,6 +133,10 @@ class Params:
         self.ewald_cut_in_a = g("ewald_cut_in_a", None)
         self.ewald_near_mxu = g("ewald_near_mxu", False)
         self.ewald_near_poly = g("ewald_near_poly", False)
+        # bf16 storage for the fiber block-Jacobi inverse (precond only —
+        # convergence knob, never accuracy); halves the dominant resident
+        # array of the ≥1e6-point regime (fd_fiber.factorize docstring)
+        self.fiber_precond_bf16 = g("fiber_precond_bf16", False)
         # Verlet-skin plan reuse across timesteps, as a fraction of r_cut:
         # plans rebuild only when some point has moved > min(skin/2, h/2)
         # since their build (near) / > h/2 (far) instead of every step.
@@ -908,6 +912,7 @@ class System:
                 flows=v_split, f_externals=total_f,
                 v_on_fibers=v_split, f_on_fibers=f_ext,
                 ops_lo=ops_lo if emulated else None,
+                precond_bf16=bool(self.params.fiber_precond_bf16),
             )
             rhs_parts = [fs.rhs(caches)]
             if has_shell:
