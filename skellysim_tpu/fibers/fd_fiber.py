@@ -545,6 +545,12 @@ def apply_boundary_conditions(
     return A_bc, RHS_bc
 
 
+# batched-QR chunking thresholds (see factorize): sequence the inverse when
+# the input exceeds the first; each lax.map chunk targets the second
+_FACTORIZE_CHUNK_INPUT_BYTES = 256 * 2**20
+_FACTORIZE_CHUNK_TARGET_BYTES = 64 * 2**20
+
+
 def factorize(A: jax.Array):
     """Batched explicit inverses of the BC-applied operators.
 
@@ -569,19 +575,38 @@ def factorize(A: jax.Array):
     equilibration diagonal (Jacobi row scaling) for that fiber — a weaker
     but finite preconditioner block."""
     m = A.shape[-1]
-    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=-1), 1e-30)   # (B, 4n)
-    A_eq = A * s[..., :, None]
+    B = A.shape[0]
 
-    def qr_inv(a):
-        q, r = jnp.linalg.qr(a)
-        return jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
+    def _inv_batch(Ab):
+        s = 1.0 / jnp.maximum(jnp.max(jnp.abs(Ab), axis=-1), 1e-30)  # (b, 4n)
+        A_eq = Ab * s[..., :, None]
 
-    inv = jax.vmap(qr_inv)(A_eq)
-    inv = inv * s[..., None, :]
-    bad = ~jnp.all(jnp.isfinite(inv), axis=(-2, -1))             # (B,)
-    diag_fallback = jnp.eye(m, dtype=A.dtype)[None] * s[..., :, None]
-    inv = jnp.where(bad[:, None, None], diag_fallback, inv)
-    return inv, jnp.zeros((A.shape[0], 0), jnp.int32)
+        def qr_inv(a):
+            q, r = jnp.linalg.qr(a)
+            return jax.scipy.linalg.solve_triangular(r, q.T, lower=False)
+
+        inv = jax.vmap(qr_inv)(A_eq)
+        inv = inv * s[..., None, :]
+        bad = ~jnp.all(jnp.isfinite(inv), axis=(-2, -1))             # (b,)
+        diag_fallback = jnp.eye(m, dtype=Ab.dtype)[None] * s[..., :, None]
+        return jnp.where(bad[:, None, None], diag_fallback, inv)
+
+    # ≥1e6-point regime: a single batched QR over (31000, 128, 128) keeps
+    # multi-GB Q/R/workspace temps alive at once; above ~0.25 GB of input,
+    # sequence the inverse in lax.map chunks (same MXU work, bounded temps)
+    if B * m * m * A.dtype.itemsize > _FACTORIZE_CHUNK_INPUT_BYTES:
+        chunk = max(1, _FACTORIZE_CHUNK_TARGET_BYTES
+                    // max(m * m * A.dtype.itemsize, 1))
+        pad = (-B) % chunk
+        A_p = jnp.concatenate(
+            [A, jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), (pad, m, m))]
+        ) if pad else A
+        inv = jax.lax.map(_inv_batch,
+                          A_p.reshape(-1, chunk, m, m)).reshape(-1, m, m)
+        inv = inv[:B] if pad else inv
+    else:
+        inv = _inv_batch(A)
+    return inv, jnp.zeros((B, 0), jnp.int32)
 
 
 def precondition(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:

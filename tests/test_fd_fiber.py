@@ -174,3 +174,21 @@ def test_step_unpacks_solution_layout():
     np.testing.assert_allclose(np.asarray(new.x[0, :, 0]), np.arange(n))
     np.testing.assert_allclose(np.asarray(new.x[0, :, 1]), np.arange(n, 2 * n))
     np.testing.assert_allclose(np.asarray(new.tension[0]), np.arange(3 * n, 4 * n))
+
+
+def test_factorize_chunked_matches_flat(monkeypatch):
+    """The lax.map-chunked batched inverse (>=1e6-regime temp bound) must
+    match the flat vmap path, including the non-divisible-batch pad."""
+    import skellysim_tpu.fibers.fd_fiber as fd
+
+    rng = np.random.default_rng(5)
+    m, B = 12, 37                      # 37 % chunk != 0 exercises the pad
+    A = jnp.asarray(rng.normal(size=(B, m, m)) + 6 * np.eye(m), jnp.float64)
+    flat, _ = fd.factorize(A)
+    monkeypatch.setattr(fd, "_FACTORIZE_CHUNK_INPUT_BYTES", 1)
+    monkeypatch.setattr(fd, "_FACTORIZE_CHUNK_TARGET_BYTES",
+                        8 * m * m * A.dtype.itemsize)
+    chunked, _ = fd.factorize(A)
+    assert chunked.shape == flat.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(flat),
+                               rtol=0, atol=1e-13 * np.abs(flat).max())
