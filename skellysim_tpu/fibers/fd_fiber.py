@@ -153,10 +153,14 @@ class FiberBlockCache:
     A: jax.Array        # (B, 4n, 4n) BC-applied linear operator
     A_lu: jax.Array     # (B, 4n, 4n) LU factors of A
     A_piv: jax.Array    # (B, 4n) pivots
-    force_operator: jax.Array  # (B, 3n, 4n)
+    force_operator: jax.Array  # (B, 3n, 4n) — NOT active-masked; the mask
+                               # is applied to apply_fiber_force's OUTPUT
+                               # (a (B, 4n·4n)-sized where here was the #2
+                               # HLO temp of the 1M-point compile)
     RHS: jax.Array      # (B, 4n) BC-applied right-hand side
     bc_minus: jax.Array  # (B,) int BC code
     bc_plus: jax.Array   # (B,) int BC code
+    active: jax.Array = None   # (B,) bool slot mask (see force_operator)
 
 
 def make_fiber_block(
@@ -684,6 +688,11 @@ def apply_fiber_force(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:
     n = cache.force_operator.shape[1] // 3
     xb = x_all.reshape(B, 4 * n)
     f = jnp.einsum("brc,bc->br", cache.force_operator, xb)  # (B, 3n)
+    if cache.active is not None:
+        # slot mask on the OUTPUT: equivalent to masking the stored (3n,4n)
+        # operator (select discards any garbage from inactive slots) at
+        # 1/(4n)th the temp footprint
+        f = jnp.where(cache.active[:, None], f, 0.0)
     return f.reshape(B, 3, n).transpose(0, 2, 1)
 
 
@@ -976,7 +985,6 @@ def update_cache(
     eye = jnp.eye(A_bc.shape[1], dtype=A_bc.dtype)
     A_bc = jnp.where(act[:, None, None], A_bc, eye)
     RHS_bc = jnp.where(act[:, None], RHS_bc, 0.0)
-    F = jnp.where(act[:, None, None], F, 0.0)
     lu, piv = factorize(A_bc)
     if precond_bf16:
         # HBM lever for the ≥1e6-point regime: the explicit inverse is a
@@ -988,5 +996,5 @@ def update_cache(
     return FiberBlockCache(
         xs=xs, xss=xss, xsss=xsss, xssss=xssss, c0=c0, c1=c1,
         A=A_bc, A_lu=lu, A_piv=piv, force_operator=F, RHS=RHS_bc,
-        bc_minus=bc_minus, bc_plus=bc_plus,
+        bc_minus=bc_minus, bc_plus=bc_plus, active=act,
     )
