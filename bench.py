@@ -6,19 +6,29 @@ all-pairs stokeslet evaluation at N×N, reported as pairwise interactions/s.
 
 Timing is a K-deep chain of kernel applications (each iteration's force
 depends on the previous velocity) inside ONE jitted executable with a single
-scalar readback — this defeats both async-dispatch undercounting and any
-result caching on tunneled backends.
+scalar readback; differencing a 2K- against a K-deep chain cancels the
+fixed per-call overhead (remote dispatch, tunnel RTT, readback — ~20-40 ms
+on the tunneled backend). Several (dt1, dt2) pairs are taken and the median
+difference used; a pair spread larger than the difference flags the
+measurement as noisy instead of silently clamping.
 
 Baseline: the same computation on the host CPU via XLA f64 (multithreaded),
 standing in for the reference's OpenMP CPU evaluator (which needs
 PVFMM/Trilinos and cannot be built here).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Output contract (the driver parses this): exactly ONE JSON line on stdout,
+printed EARLY — right after the quick kernel benches (~2-4 min) — with
+deep-leg fields (crossover sweep, oocyte A/B) filled from the newest cached
+record in docs/bench_records/ when available. The deep legs then re-run
+under one global wall-clock budget (SKELLY_BENCH_BUDGET_S, default 2700 s,
+measured from process start) with graceful per-leg skipping, and the
+refreshed record is persisted to docs/bench_records/ — never printed as a
+second stdout line. `--quick` skips the deep legs entirely.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -26,15 +36,47 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_REC_DIR = os.path.join(_REPO, "docs", "bench_records")
 
-def _chain_bench(kernel, n, K, device, dtype):
-    """Mean seconds per kernel application over a K-chain.
 
-    Times a K-deep and a 2K-deep dependency chain and uses the DIFFERENCE:
-    fixed per-call overhead (remote dispatch, tunnel RTT, the scalar
-    readback) is identical in both and cancels. On the tunneled TPU
-    backend that overhead is ~20-40 ms per call — it inflated the round-3
-    single-chain headline ~3× at n=8192 (3.36e10 vs ~9e10 pairs/s)."""
+def _budget_s():
+    try:
+        return float(os.environ.get("SKELLY_BENCH_BUDGET_S", "2700"))
+    except ValueError:
+        return 2700.0
+
+
+def _remaining_s():
+    return _budget_s() - (time.perf_counter() - _T0)
+
+
+def _diff_pairs(run1, run2, K, n_pairs=3):
+    """Median of several (dt1, dt2) chain pairs → seconds per application.
+
+    Returns (dt_per_apply, ok): ok=False when the median difference is
+    below 25% of the median dt1 (the differencing signal is then buried in
+    per-call noise and the rate would be unreliable)."""
+    diffs, dt1s = [], []
+    for _ in range(n_pairs):
+        t0 = time.perf_counter()
+        float(run1())
+        dt1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run2())
+        dt2 = time.perf_counter() - t0
+        diffs.append(dt2 - dt1)
+        dt1s.append(dt1)
+    diffs.sort()
+    d = diffs[len(diffs) // 2]
+    ok = d > 1e-9 and d > 0.05 * sorted(dt1s)[len(dt1s) // 2]
+    return max(d, 1e-12) / K, ok
+
+
+def _chain_bench(kernel, n, K, device, dtype, n_pairs=3):
+    """Mean seconds per kernel application over a K-chain (2K−K differenced,
+    median over n_pairs)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,14 +95,11 @@ def _chain_bench(kernel, n, K, device, dtype):
     run1, run2 = make(K), make(2 * K)
     assert np.isfinite(float(run1(a, f)))  # compile + warm
     assert np.isfinite(float(run2(a, f)))
-    t0 = time.perf_counter()
-    s = float(run1(a, f))
-    dt1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    s = float(run2(a, f))
-    dt2 = time.perf_counter() - t0
-    assert np.isfinite(s)
-    return max(dt2 - dt1, 1e-12) / K
+    dt, ok = _diff_pairs(lambda: run1(a, f), lambda: run2(a, f), K, n_pairs)
+    if not ok:
+        print(f"warning: chain differencing noisy at n={n} (rate suspect)",
+              file=sys.stderr)
+    return dt
 
 
 def _bench_system_step(n_fibers=64, n_nodes=32, evaluator="direct"):
@@ -95,10 +134,26 @@ def _bench_system_step(n_fibers=64, n_nodes=32, evaluator="direct"):
     return max(total - readback, 1e-9) / iters
 
 
-def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
+def _load_cached_record():
+    """Newest committed record in docs/bench_records/ (deep-leg fallback)."""
+    best, best_t = None, -1.0
+    for path in glob.glob(os.path.join(_REC_DIR, "bench_*.json")):
+        t = os.path.getmtime(path)
+        if t > best_t:
+            try:
+                with open(path) as fh:
+                    rec = json.load(fh)
+                best, best_t = (rec, os.path.basename(path)), t
+            except Exception:
+                continue
+    return best  # (record, filename) or None
+
+
+def _crossover_sweep(dev, sizes=(20000, 100000, 300000)):
     """Dense-Pallas vs spectral-Ewald apply time over N (the reference's
     n_src/n_trg sweep, performance_hydrodynamics_combined.cpp:37-108).
-    Returns {n: {"dense_s": t|None, "ewald_s": t}} and prints the table."""
+    Returns {n: {"dense_s": t|None, "ewald_s": t}} and prints the table.
+    Respects the global budget: stops before a size it cannot finish."""
     import jax
     import jax.numpy as jnp
 
@@ -107,6 +162,10 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
 
     out = {}
     for n in sizes:
+        # rough cost model: compile + runs grow with n; keep a safety floor
+        if _remaining_s() < 60 + n / 2000:
+            print(f"  crossover n={n}: skipped (budget)", file=sys.stderr)
+            break
         rng = np.random.default_rng(n)
         L = (n / 50000.0) ** (1.0 / 3.0) * 4.0   # fixed density
         r = jnp.asarray(rng.uniform(0, L, (n, 3)), jnp.float32)
@@ -125,12 +184,9 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
 
             d1, d2 = make_d(3), make_d(6)
             float(d1(r, fv)), float(d2(r, fv))
-            t0 = time.perf_counter()
-            float(d1(r, fv))
-            dt1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(d2(r, fv))
-            row["dense_s"] = max(time.perf_counter() - t0 - dt1, 1e-12) / 3
+            dt, _ = _diff_pairs(lambda: d1(r, fv), lambda: d2(r, fv), 3,
+                                n_pairs=3 if n <= 100000 else 1)
+            row["dense_s"] = dt
         else:
             row["dense_s"] = None
         a_split = 1.5 * L / n ** (1.0 / 3.0)
@@ -168,12 +224,10 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
         try:
             e1, e2 = make_e(3), make_e(6)
             float(e1(r, fv, sp)), float(e2(r, fv, sp))
-            t0 = time.perf_counter()
-            float(e1(r, fv, sp))
-            dt1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(e2(r, fv, sp))
-            row["ewald_s"] = max(time.perf_counter() - t0 - dt1, 1e-12) / 3
+            dt, _ = _diff_pairs(lambda: e1(r, fv, sp),
+                                lambda: e2(r, fv, sp), 3,
+                                n_pairs=3 if n <= 100000 else 1)
+            row["ewald_s"] = dt
         except Exception as e:
             print(f"  ewald n={n} failed: {type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
@@ -186,19 +240,27 @@ def _crossover_sweep(dev, sizes=(20000, 100000, 300000, 1000000)):
     return out
 
 
-# v5e VPU peak: 8 vector units/core... public figure 937.5 MHz × 1024 f32
-# lanes × 2 (FMA) ≈ 1.92 TFLOP/s; the pairwise kernels are VPU-bound
-# (elementwise + rsqrt), not MXU-bound.
-# flop counts for rate→TFLOP/s conversion only. The round-4 chip
-# measurements RETRACTED the assumed "1.92 TFLOP/s VPU peak" (the kernels
-# measure ABOVE it once the ~25 ms tunnel per-call overhead is differenced
-# out), so no MFU ratio is reported — docs/roofline.md derives the honest
-# ceiling from the empirically calibrated slot rate instead.
+# flop counts for rate→TFLOP/s conversion. The MFU denominator is the
+# microbenchmark-calibrated VPU ceiling (docs/roofline.md "calibrated
+# ceiling"): measured transcendental-free FMA-chain slot rate on this chip,
+# persisted by scripts/bench_vpu_ops.py into docs/bench_records/ as
+# vpu_ceiling_tflops. Without a calibration record no ratio is reported
+# (the naive 1.92 TFLOP/s datasheet-derived figure was measured-exceeded
+# and retracted in round 4).
 _STOKESLET_FLOPS_PER_PAIR = 30.0
 _STRESSLET_FLOPS_PER_PAIR = 60.0
 
 
-def _bench_oocyte_reference(evaluators=("pallas", "ewald"), timeout_s=2400):
+def _load_vpu_ceiling():
+    path = os.path.join(_REC_DIR, "vpu_ceiling.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
+def _bench_oocyte_reference(evaluators=("pallas", "ewald")):
     """Full-scale oocyte step A/B on the reference's own example config
     (examples/oocyte/gen_config.py: 3000 fibers, ds_min 0.1, 6000-node
     revolution shell, periphery interaction OFF) — the flagship
@@ -206,29 +268,34 @@ def _bench_oocyte_reference(evaluators=("pallas", "ewald"), timeout_s=2400):
 
     Runs scripts/bench_oocyte.py as a subprocess per evaluator so a hung
     compile or downed tunnel cannot take the headline metrics with it.
-    The workdir (precompute npz) and the persistent XLA compile cache make
-    re-runs cheap. Skip with SKELLY_BENCH_OOCYTE=0."""
+    Per-leg timeout = remaining global budget. Skip with
+    SKELLY_BENCH_OOCYTE=0."""
     import subprocess
 
     if os.environ.get("SKELLY_BENCH_OOCYTE", "1") == "0":
         return {}
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "bench_oocyte.py")
+    script = os.path.join(_REPO, "scripts", "bench_oocyte.py")
     workdir = os.environ.get("SKELLY_BENCH_OOCYTE_WORKDIR",
                              "/tmp/bench_oocyte_ref")
     out = {}
     for ev in evaluators:
+        tmo = _remaining_s()
+        if tmo < 300:
+            out[ev] = {"error": "skipped (budget)"}
+            print(f"oocyte reference-config [{ev}]: skipped (budget)",
+                  file=sys.stderr)
+            continue
         cmd = [sys.executable, script, "--evaluator", ev, "--no-walls",
                "--ds-min", "0.1", "--shell-nodes", "6000", "--steps", "3",
                "--workdir", workdir]
         try:
             res = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=timeout_s)
+                                 timeout=tmo)
             line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
             out[ev] = json.loads(line) if line.startswith("{") else {
                 "error": (res.stderr or "no output")[-300:]}
         except subprocess.TimeoutExpired:
-            out[ev] = {"error": f"timeout after {timeout_s}s"}
+            out[ev] = {"error": f"timeout after {tmo:.0f}s (budget)"}
         except Exception as e:  # noqa: BLE001 — a bench leg must never abort the run
             out[ev] = {"error": f"{type(e).__name__}: {e}"}
         msg = out[ev].get("step_s_median", out[ev].get("error"))
@@ -236,16 +303,31 @@ def _bench_oocyte_reference(evaluators=("pallas", "ewald"), timeout_s=2400):
     return out
 
 
+def _persist(record, accel):
+    """In-repo bookkeeping: persist every bench run keyed by commit+device so
+    driver BENCH_r{N}.json files and session logs can never silently diverge
+    from what the repo records."""
+    try:
+        import subprocess
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=_REPO).stdout.strip() or "unknown"
+        dev_tag = "accel" if accel else "cpu"
+        os.makedirs(_REC_DIR, exist_ok=True)
+        with open(os.path.join(_REC_DIR, f"bench_{sha}_{dev_tag}.json"),
+                  "w") as fh:
+            json.dump(record, fh, indent=1)
+    except Exception as e:           # bookkeeping must never fail the bench
+        print(f"bench record write skipped: {e}", file=sys.stderr)
+
+
 def main():
-    # --quick / SKELLY_BENCH_OOCYTE=0 skips the two oocyte subprocesses
-    # (up to ~40 min cold). They stay ON by default because the unattended
-    # driver run must record the coupled A/B in BENCH_r{N}.json.
-    if "--quick" in sys.argv[1:]:
-        os.environ["SKELLY_BENCH_OOCYTE"] = "0"
+    quick = "--quick" in sys.argv[1:]
     import jax
     import jax.numpy as jnp
 
-    from skellysim_tpu.kernels.pallas_tpu import stokeslet_apply_pallas
+    from skellysim_tpu.kernels.pallas_tpu import (stokeslet_apply_pallas,
+                                                  stresslet_apply_pallas)
     from skellysim_tpu.kernels.reference import stokeslet_apply
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -261,18 +343,15 @@ def main():
     print(f"cpu xla f64 n={n_cpu}: {cpu_rate:.3e} inter/s ({dt_cpu*1e3:.1f} ms)",
           file=sys.stderr)
 
+    dt_str = None
+    rates = {}
     if accel:
         dev = accel[0]
         n = 8192
-        rates = {}
         # stresslet rate (reference benchmarks both kernels); strengths are
         # rank-1 n⊗q tensors like the double-layer use sites
-        from skellysim_tpu.kernels.pallas_tpu import stresslet_apply_pallas
 
         def _stresslet_chain(n_, K, device, dtype):
-            import jax
-            import jax.numpy as jnp
-
             rng = np.random.default_rng(1)
             r = jax.device_put(jnp.asarray(rng.uniform(-1, 1, (n_, 3)), dtype), device)
             q = jax.device_put(jnp.asarray(rng.normal(size=(n_, 3)), dtype), device)
@@ -289,13 +368,8 @@ def main():
 
             run1, run2 = make(K), make(2 * K)
             float(run1(r, q)), float(run2(r, q))
-            t0 = time.perf_counter()
-            float(run1(r, q))
-            dt1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(run2(r, q))
-            dt2 = time.perf_counter() - t0
-            return max(dt2 - dt1, 1e-12) / K
+            dt, _ = _diff_pairs(lambda: run1(r, q), lambda: run2(r, q), K)
+            return dt
 
         try:
             dt_str = _stresslet_chain(n, 10, dev, jnp.float32)
@@ -303,6 +377,16 @@ def main():
                   f"({dt_str*1e3:.2f} ms)", file=sys.stderr)
         except Exception as e:
             print(f"stresslet bench failed: {e}", file=sys.stderr)
+
+        for name, kern in [("xla", xla_kernel), ("pallas", pallas_kernel)]:
+            try:
+                dt = _chain_bench(kern, n, 20, dev, jnp.float32)
+                rates[name] = n * n / dt
+                print(f"tpu {name} f32 n={n}: {rates[name]:.3e} inter/s "
+                      f"({dt*1e3:.2f} ms)", file=sys.stderr)
+            except Exception as e:
+                print(f"tpu {name} failed: {e}", file=sys.stderr)
+
         # spectral-Ewald (O(N) far-field) apply rate — the FMM-tier metric;
         # equivalent dense pair count n² per apply
         def _ewald_chain(n_, K, dtype):
@@ -330,6 +414,7 @@ def main():
             float(run(r, fv, sp))
             return (time.perf_counter() - t0) / K
 
+        dt_ew = None
         try:
             n_ew = 50000
             dt_ew = _ewald_chain(n_ew, 5, jnp.float32)
@@ -339,44 +424,40 @@ def main():
         except Exception as e:
             print(f"ewald bench failed: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
-        for name, kern in [("xla", xla_kernel), ("pallas", pallas_kernel)]:
-            try:
-                dt = _chain_bench(kern, n, 20, dev, jnp.float32)
-                rates[name] = n * n / dt
-                print(f"tpu {name} f32 n={n}: {rates[name]:.3e} inter/s "
-                      f"({dt*1e3:.2f} ms)", file=sys.stderr)
-            except Exception as e:
-                print(f"tpu {name} failed: {e}", file=sys.stderr)
-        best = max(rates.values())
-        value, ratio = best, best / cpu_rate
-        tflops_stokeslet = best * _STOKESLET_FLOPS_PER_PAIR / 1e12
-        try:
-            tflops_stresslet = (n * n / dt_str * _STRESSLET_FLOPS_PER_PAIR
-                                / 1e12)
-        except Exception:
-            tflops_stresslet = None
-        print(f"VPU rates: stokeslet {tflops_stokeslet:.2f} TFLOP/s at "
-              f"{_STOKESLET_FLOPS_PER_PAIR:.0f} flops/pair (no MFU ratio: "
-              "the assumed peak was retracted, see docs/roofline.md)",
-              file=sys.stderr)
+
+        dt_step = None
         try:
             dt_step = _bench_system_step(evaluator="pallas")
             print(f"tpu coupled step f32 (64 fibers x 32 nodes): {dt_step*1e3:.1f} ms",
                   file=sys.stderr)
         except Exception as e:
             print(f"coupled-step bench failed: {e}", file=sys.stderr)
-        try:
-            crossover = _crossover_sweep(dev)
-        except Exception as e:
-            print(f"crossover sweep failed: {e}", file=sys.stderr)
-            crossover = {}
-        oocyte = _bench_oocyte_reference()
+
+        best = max(rates.values()) if rates else cpu_rate
+        value, ratio = best, best / cpu_rate
     else:
         value, ratio = cpu_rate, 1.0
-        tflops_stokeslet = tflops_stresslet = None
-        crossover = {}
-        oocyte = {}
+        dt_ew = dt_step = None
 
+    tflops_stokeslet = value * _STOKESLET_FLOPS_PER_PAIR / 1e12 if accel else None
+    tflops_stresslet = (8192 * 8192 / dt_str * _STRESSLET_FLOPS_PER_PAIR / 1e12
+                        if dt_str else None)
+    ceiling = _load_vpu_ceiling()
+    mfu = None
+    if ceiling and tflops_stokeslet and ceiling.get("vpu_ceiling_tflops"):
+        mfu = tflops_stokeslet / ceiling["vpu_ceiling_tflops"]
+        print(f"VPU rates: stokeslet {tflops_stokeslet:.2f} TFLOP/s = "
+              f"{mfu*100:.0f}% of the calibrated {ceiling['vpu_ceiling_tflops']:.2f}"
+              f" TFLOP/s ceiling ({ceiling.get('method', 'see docs/roofline.md')})",
+              file=sys.stderr)
+    elif tflops_stokeslet:
+        print(f"VPU rates: stokeslet {tflops_stokeslet:.2f} TFLOP/s at "
+              f"{_STOKESLET_FLOPS_PER_PAIR:.0f} flops/pair (no calibrated "
+              "ceiling record; run scripts/bench_vpu_ops.py --calibrate)",
+              file=sys.stderr)
+
+    # ------- headline JSON: printed NOW, before any deep leg -------
+    cached = _load_cached_record()
     record = {
         "metric": "pairwise stokeslet interactions/s/chip (f32 on-chip, chained-loop timing, vs f64 XLA-CPU baseline)",
         "value": value,
@@ -384,31 +465,40 @@ def main():
         "vs_baseline": ratio,
         "tflops_stokeslet": tflops_stokeslet,
         "tflops_stresslet": tflops_stresslet,
-        "crossover_ms_per_apply": {
-            str(k): {kk: (None if vv is None else vv * 1e3)
-                     for kk, vv in v.items()}
-            for k, v in crossover.items()},
-        "oocyte_reference_config": oocyte,
+        "mfu_vs_calibrated_ceiling": mfu,
+        "ewald_ms_per_apply_50k": dt_ew * 1e3 if accel and dt_ew else None,
+        "coupled_step_ms_64x32": dt_step * 1e3 if accel and dt_step else None,
+        "crossover_ms_per_apply": {},
+        "oocyte_reference_config": {},
     }
+    if cached:
+        rec, fname = cached
+        for key in ("crossover_ms_per_apply", "oocyte_reference_config"):
+            if rec.get(key):
+                record[key] = rec[key]
+                record[key + "_source"] = f"cached:{fname}"
     print(json.dumps(record))
-    # in-repo bookkeeping (VERDICT r3 #9): persist every bench run keyed by
-    # commit + device, so driver BENCH_r{N}.json files and session logs can
-    # never silently diverge from what the repo records
-    try:
-        import subprocess
-        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             capture_output=True, text=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__))
-                             ).stdout.strip() or "unknown"
-        dev_tag = "accel" if accel else "cpu"
-        rec_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "docs", "bench_records")
-        os.makedirs(rec_dir, exist_ok=True)
-        with open(os.path.join(rec_dir, f"bench_{sha}_{dev_tag}.json"),
-                  "w") as fh:
-            json.dump(record, fh, indent=1)
-    except Exception as e:           # bookkeeping must never fail the bench
-        print(f"bench record write skipped: {e}", file=sys.stderr)
+    sys.stdout.flush()
+
+    # ------- deep legs: refresh under the remaining global budget -------
+    if accel and not quick:
+        try:
+            crossover = _crossover_sweep(accel[0])
+            if crossover:
+                record["crossover_ms_per_apply"] = {
+                    str(k): {kk: (None if vv is None else vv * 1e3)
+                             for kk, vv in v.items()}
+                    for k, v in crossover.items()}
+                record.pop("crossover_ms_per_apply_source", None)
+        except Exception as e:
+            print(f"crossover sweep failed: {e}", file=sys.stderr)
+        _persist(record, accel)   # partial persist before the long legs
+        oocyte = _bench_oocyte_reference()
+        if oocyte and not all(
+                v.get("error", "").startswith("skipped") for v in oocyte.values()):
+            record["oocyte_reference_config"] = oocyte
+            record.pop("oocyte_reference_config_source", None)
+    _persist(record, accel)
 
 
 if __name__ == "__main__":

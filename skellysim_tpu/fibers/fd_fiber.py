@@ -688,11 +688,14 @@ def apply_fiber_force(cache: FiberBlockCache, x_all: jax.Array) -> jax.Array:
     n = cache.force_operator.shape[1] // 3
     xb = x_all.reshape(B, 4 * n)
     f = jnp.einsum("brc,bc->br", cache.force_operator, xb)  # (B, 3n)
-    if cache.active is not None:
-        # slot mask on the OUTPUT: equivalent to masking the stored (3n,4n)
-        # operator (select discards any garbage from inactive slots) at
-        # 1/(4n)th the temp footprint
-        f = jnp.where(cache.active[:, None], f, 0.0)
+    # the slot mask is mandatory — a cache built without it would silently
+    # reinstate garbage forces from inactive slots (force_operator is no
+    # longer masked at build time)
+    assert cache.active is not None, "FiberBlockCache.active missing"
+    # slot mask on the OUTPUT: equivalent to masking the stored (3n,4n)
+    # operator (select discards any garbage from inactive slots) at
+    # 1/(4n)th the temp footprint
+    f = jnp.where(cache.active[:, None], f, 0.0)
     return f.reshape(B, 3, n).transpose(0, 2, 1)
 
 
@@ -949,7 +952,7 @@ def residual_delta(
     return jnp.where(block.active[:, None], R, 0.0)
 
 
-def update_cache(
+def _update_cache_impl(
     block: FiberBlock,
     ops: FiberOperators,
     eta,
@@ -998,3 +1001,80 @@ def update_cache(
         A=A_bc, A_lu=lu, A_piv=piv, force_operator=F, RHS=RHS_bc,
         bc_minus=bc_minus, bc_plus=bc_plus, active=act,
     )
+
+
+def update_cache(
+    block: FiberBlock,
+    ops: FiberOperators,
+    eta,
+    dt,
+    bc_minus: jax.Array,
+    bc_plus: jax.Array,
+    flow: Optional[jax.Array] = None,
+    f_external: Optional[jax.Array] = None,
+    v_on_fiber: Optional[jax.Array] = None,
+    f_on_fiber: Optional[jax.Array] = None,
+    ops_lo: Optional[FiberOperatorsLo] = None,
+    precond_bf16: bool = False,
+) -> FiberBlockCache:
+    """Cache build, sequenced in batch chunks above ~0.25 GB of operator.
+
+    The ≥1e6-point regime (31000 fibers × 128-dim blocks) OOMed in the
+    ASSEMBLY, not the inverse: XLA's scheduler kept seven ~1.9 GB
+    [B, 4n-14, 4n] temps of the BC downsample/concat pipeline live at once
+    (r4b chip log, fd_fiber.py apply_boundary_conditions). Running the whole
+    derivatives → A → RHS → BC → inverse pipeline per chunk under lax.map
+    bounds temps to O(chunk · (4n)²) while the per-chunk work stays batched
+    MXU work; outputs are written straight into the full cache buffers.
+    Numerics are identical to the unchunked path (same ops, smaller batch).
+    """
+    B, n = block.n_fibers, block.n_nodes
+    m = 4 * n
+    itemsize = jnp.dtype(block.x.dtype).itemsize
+    if B * m * m * itemsize <= _FACTORIZE_CHUNK_INPUT_BYTES:
+        return _update_cache_impl(
+            block, ops, eta, dt, bc_minus, bc_plus, flow, f_external,
+            v_on_fiber, f_on_fiber, ops_lo=ops_lo, precond_bf16=precond_bf16)
+
+    chunk = max(1, _FACTORIZE_CHUNK_TARGET_BYTES // max(m * m * itemsize, 1))
+    pad = (-B) % chunk
+
+    def padded(a):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+
+    blk_p = jax.tree.map(padded, block)
+    if pad:
+        # pad rows replicate the last fiber (finite data, no div-by-zero)
+        # but are marked inactive so their operator is identity
+        blk_p = blk_p.replace(
+            active=jnp.concatenate(
+                [block.active, jnp.zeros((pad,), bool)]))
+
+    def chunked(a):
+        # explicit shapes: -1 can't infer through zero-size leaves (A_piv)
+        return a.reshape((a.shape[0] // chunk, chunk) + a.shape[1:])
+
+    mapped = {
+        "block": jax.tree.map(chunked, blk_p),
+        "bc_minus": chunked(padded(bc_minus)),
+        "bc_plus": chunked(padded(bc_plus)),
+    }
+    for name, v in (("flow", flow), ("f_external", f_external),
+                    ("v_on_fiber", v_on_fiber), ("f_on_fiber", f_on_fiber)):
+        if v is not None:
+            mapped[name] = chunked(padded(v))
+
+    def body(c):
+        return _update_cache_impl(
+            c["block"], ops, eta, dt, c["bc_minus"], c["bc_plus"],
+            c.get("flow"), c.get("f_external"),
+            c.get("v_on_fiber"), c.get("f_on_fiber"),
+            ops_lo=ops_lo, precond_bf16=precond_bf16)
+
+    cache = jax.lax.map(body, mapped)
+    return jax.tree.map(
+        lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])[:B],
+        cache)

@@ -255,11 +255,15 @@ def _pow2_chunks(G: int, cells: int, target: float, cap: int = 32) -> int:
 
 
 def grid_shape_for(lo, hi, a: float, points_per_a: float = 2.5,
-                   support: int = None):
+                   support: int = None, y_multiple: int = 1):
     """(logical shape, padded FFT shape, h, support) for a box — the single
     source of truth shared by build_grid and host-side memory sizing
     (System._ewald_objects picks the splitting ``a`` so the 7 real spectra
-    fit the HBM budget; an estimate drifting from the builder would OOM)."""
+    fit the HBM budget; an estimate drifting from the builder would OOM).
+
+    ``y_multiple``: round the padded y dim up to this multiple — the
+    slab-decomposed multi-device far field (ewald_sharded) transposes the
+    y axis across n_devices and needs P1 % n_devices == 0."""
     h = a / points_per_a
     sigma = a / 4.0
     if support is None:
@@ -276,9 +280,11 @@ def grid_shape_for(lo, hi, a: float, points_per_a: float = 2.5,
     # power-of-2 slab factors
     taper_cells = 22
     padded = []
-    for s in shape:
+    for i, s in enumerate(shape):
+        mult = 4 * (y_multiple if i == 1 else 1) // math.gcd(
+            4, y_multiple if i == 1 else 1)
         p = _round_up_fft(2 * s + 2 * taper_cells)
-        while p % 4:
+        while p % mult:
             p = _round_up_fft(p + 1)
         padded.append(p)
     return shape, tuple(padded), h, support, lo
@@ -293,16 +299,18 @@ def spectra_bytes(lo, hi, a: float, points_per_a: float = 2.5,
 
 def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
                points_per_a: float = 2.5, support: int = None,
-               dtype=jnp.float32) -> EwaldGrid:
+               dtype=jnp.float32, y_multiple: int = 1) -> EwaldGrid:
     """Precompute the spectral far-field operator for a fixed box.
 
     The box [lo, hi] must contain all sources and targets (with the window
     half-width margin added here). One-time cost: tabulating S_far on the
     2×-padded grid and six rFFTs — done ON DEVICE (only 1-D auxiliaries are
     uploaded; the spectra themselves never cross the host↔device link).
+    ``y_multiple``: see grid_shape_for (slab-decomposed multi-device FFT).
     """
     shape, padded, h, support, lo = grid_shape_for(lo, hi, a, points_per_a,
-                                                   support)
+                                                   support,
+                                                   y_multiple=y_multiple)
     sigma = a / 4.0
 
     axes = [np.fft.fftfreq(p, d=1.0 / p) * h for p in padded]  # signed offsets
@@ -622,9 +630,10 @@ def refresh_slab_bins(bins, points, lo, h, support):
             idx_c, cum_chunks)
 
 
-@partial(jax.jit, static_argnames=("logical", "support", "cap", "wide"))
+@partial(jax.jit, static_argnames=("logical", "support", "cap", "wide",
+                                   "padded_out"))
 def _spread_slab(points, values, lo, h, logical, support, cap=None,
-                 bins=None, wide: bool = False):
+                 bins=None, wide: bool = False, padded_out: bool = False):
     """Slab-matmul spreading — the MXU formulation of NUFFT type-1.
 
     Points bin by their nearest x-plane ("slab"); the non-empty CP-wide
@@ -686,24 +695,38 @@ def _spread_slab(points, values, lo, h, logical, support, cap=None,
     gridp = jnp.zeros((C, Gx + 2 * W2 + 1, Gy, Gz), dtype)
     gridp, _ = jax.lax.scan(entry_body, gridp,
                             (rel_y, rel_z, fx_b, val_b, ent_slab))
+    if padded_out:
+        # distributed x-slab path (ewald_sharded): the W2 halo rows on each
+        # side carry contributions belonging to neighbour devices' x ranges
+        # and are ppermute-exchanged by the caller; buffer row W2+s ↔
+        # logical row s, last row is the zero dummy absorber
+        return gridp
     return gridp[:, W2: W2 + Gx]
 
 
-@partial(jax.jit, static_argnames=("support", "cap", "wide"))
+@partial(jax.jit, static_argnames=("support", "cap", "wide", "halo_in"))
 def _interp_slab(grids, points, lo, h, support, cap=None, bins=None,
-                 wide: bool = False):
+                 wide: bool = False, halo_in: bool = False):
     """Slab-matmul interpolation (NUFFT type-2) — transpose of
     ``_spread_slab``: per ragged entry, read grid rows [slab, slab+Wn)
     (one dynamic slice) and contract against the dense y/z windows as
     matmuls; points recover their values through a gather-only inverse
     map."""
     dtype = grids.dtype
-    C, Gx, Gy, Gz = grids.shape
-    N = points.shape[0]
     beta = _es_beta(support)
     half = support / 2.0
     W2 = support // 2 + int(wide)   # see _spread_slab: ±1 x row under reuse
     Wn = 2 * W2 + 1
+    if halo_in:
+        # distributed x-slab path (ewald_sharded): grids already carries the
+        # W2 neighbour halo rows plus the +1 dummy row (same layout as gpad)
+        C, Gxp, Gy, Gz = grids.shape
+        Gx = Gxp - 2 * W2 - 1
+        gpad = grids
+    else:
+        C, Gx, Gy, Gz = grids.shape
+        gpad = jnp.pad(grids, ((0, 0), (W2, W2 + 1), (0, 0), (0, 0)))
+    N = points.shape[0]
     cap = cap or _slab_cap(N, Gx)
     CP = _slab_CP(cap)
     E = _slab_entry_bound(N, Gx, CP)
@@ -714,7 +737,6 @@ def _interp_slab(grids, points, lo, h, support, cap=None, bins=None,
 
     gy = jnp.arange(Gy, dtype=dtype)
     gz = jnp.arange(Gz, dtype=dtype)
-    gpad = jnp.pad(grids, ((0, 0), (W2, W2 + 1), (0, 0), (0, 0)))
 
     def entry_body(_, ent):
         ry, rz, fx, slab = ent
@@ -820,7 +842,6 @@ def _far_convolve_logical(g_log, khat_ri, shape, logical):
     """
     L0, L1, L2 = logical
     cells = int(np.prod(shape))
-    batch = cells <= 20_000_000
 
     def K(i):
         # real spectrum (see EwaldGrid.khat): real × complex products
@@ -843,6 +864,7 @@ def _far_convolve_logical(g_log, khat_ri, shape, logical):
             uhs = list(jax.lax.optimization_barrier(tuple(uhs)))
         return jnp.stack([_irfftn_staged(uh, shape, logical).astype(
             g_log.dtype) for uh in uhs])
+    batch = cells <= 20_000_000
     if batch:
         fh3 = _rfftn_staged(g_log, shape, logical)
         fh = [fh3[c] for c in range(3)]
@@ -1174,9 +1196,10 @@ class EwaldStokeslet:
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
                  pair_total: int = 65536, near_mxu: bool = False,
-                 near_poly: bool = False):
+                 near_poly: bool = False, y_multiple: int = 1):
         self.grid = (grid if grid is not None
-                     else build_grid(lo, hi, a, points_per_a, support, dtype))
+                     else build_grid(lo, hi, a, points_per_a, support, dtype,
+                                     y_multiple=y_multiple))
         self.a = float(a)
         self.r_cut = cut_in_a * a
         # near-field output contractions on the MXU (A/B knob; stokeslet
@@ -1303,9 +1326,20 @@ class EwaldStokeslet:
         if plan is None:
             plan = self.make_near_plan(r_src, r_trg)
         if self.mesh is not None:
-            u_far = far_field_apply_sharded(
-                grid, r_src.astype(dt), f_src.astype(dt), r_trg.astype(dt),
-                self.mesh, slab_cap=self.slab_cap)
+            from skellysim_tpu.kernels.ewald_sharded import (
+                far_field_apply_slabbed, slab_grid_ok)
+
+            nd = int(np.prod(list(self.mesh.shape.values())))
+            if slab_grid_ok(grid, nd):
+                # genuinely distributed tier: x-slab grid + y-slab spectra,
+                # O(grid/nd) per device (ewald_sharded module docstring)
+                u_far = far_field_apply_slabbed(
+                    grid, r_src.astype(dt), f_src.astype(dt),
+                    r_trg.astype(dt), self.mesh, slab_cap=self.slab_cap)
+            else:
+                u_far = far_field_apply_sharded(
+                    grid, r_src.astype(dt), f_src.astype(dt),
+                    r_trg.astype(dt), self.mesh, slab_cap=self.slab_cap)
             u_near = near_apply_plan_sharded(
                 plan, f_src.astype(dt), self.a, self.mesh, kind="stokeslet",
                 mxu=self.near_mxu,
@@ -1348,13 +1382,14 @@ class EwaldStresslet:
                  dtype=jnp.float32, grid: EwaldGrid = None,
                  slab_cap: int = None, cap_t: int = None,
                  pair_total: int = 65536, near_mxu: bool = False,
-                 near_poly: bool = False):
+                 near_poly: bool = False, y_multiple: int = 1):
         # near_mxu: accepted for ctor-kw symmetry with EwaldStokeslet; the
         # MXU output-contraction variant exists for the stokeslet only
         del near_mxu
         self.near_poly = bool(near_poly)
         self.grid = (grid if grid is not None
-                     else build_grid(lo, hi, a, points_per_a, support, dtype))
+                     else build_grid(lo, hi, a, points_per_a, support, dtype,
+                                     y_multiple=y_multiple))
         self.a = float(a)
         self.r_cut = cut_in_a * a
         # the box the grid covers: points OUTSIDE it spread/interp with
@@ -1420,9 +1455,18 @@ class EwaldStresslet:
                            Ssym[:, 1, 1],
                            0.5 * (Ssym[:, 1, 2] + Ssym[:, 2, 1]),
                            Ssym[:, 2, 2]], axis=1)
-            u_far = far_field_apply_sharded(
-                grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,
-                slab_cap=self.slab_cap, convolve="stresslet")
+            from skellysim_tpu.kernels.ewald_sharded import (
+                far_field_apply_slabbed, slab_grid_ok)
+
+            nd = int(np.prod(list(self.mesh.shape.values())))
+            if slab_grid_ok(grid, nd):
+                u_far = far_field_apply_slabbed(
+                    grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,
+                    slab_cap=self.slab_cap, convolve="stresslet")
+            else:
+                u_far = far_field_apply_sharded(
+                    grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,
+                    slab_cap=self.slab_cap, convolve="stresslet")
             u_near = near_apply_plan_sharded(
                 plan, payload, self.a, self.mesh, kind="stresslet",
                 poly_cut=self.r_cut if self.near_poly else None)

@@ -88,6 +88,29 @@ class Shell:
         # (2, S+1) meridian polyline for surface-of-revolution walls; the
         # runtime interaction geometry (collision/repulsion/binding)
         self.meridian = meridian
+        # shape-less precompute npz: derive effective (a, b, c) from the
+        # node extents like the reference's GenericPeriphery
+        # (periphery.hpp:167-188) so collision/repulsion get REAL geometry
+        # through the ellipsoid formulas instead of silently no-opping
+        # (the reference's generic fiber_interaction/check_collision are
+        # warn-stubs, periphery.cpp:265-317 — this is strictly better)
+        if (shape == SHAPE_GENERIC and meridian is None
+                and not any(self.abc) and state is not None
+                and state.nodes.shape[0] > 0):
+            nodes = np.asarray(state.nodes)
+            self.abc = tuple(float(np.abs(nodes[:, i]).max())
+                             for i in range(3))
+
+    @property
+    def interaction_shape(self) -> str:
+        """Shape label for runtime collision/repulsion/binding dispatch:
+        generic shells with derived extents route through the ellipsoid
+        formulas (see __init__); the solve operators are untouched (they
+        come from the precompute npz regardless of shape)."""
+        if (self.shape == SHAPE_GENERIC and self.meridian is None
+                and any(self.abc)):
+            return "ellipsoid"
+        return self.shape
 
     @staticmethod
     def from_precompute(periphery_table: dict, dtype=jnp.float64) -> "Shell":

@@ -50,10 +50,18 @@ def _sys_jit(fun):
             platform = jax.devices()[0].platform
         except Exception:  # noqa: BLE001 — backend probe must not break import
             platform = "cpu"
-        # TPU-only compile option; CPU/GPU backends reject unknown options
-        if platform not in ("cpu", "gpu", "cuda", "rocm"):
-            return jax.jit(fun, compiler_options={
-                "xla_tpu_scoped_vmem_limit_kib": int(kib)})
+        # explicit TPU allowlist ("tpu" proper and the tunneled "axon"
+        # backend) — other platforms reject the unknown compile option
+        if platform in ("tpu", "axon"):
+            try:
+                kib_int = int(kib)
+            except ValueError:
+                logger.warning(
+                    "SKELLY_XLA_SCOPED_VMEM_KIB=%r is not an integer; "
+                    "falling back to plain jax.jit", kib)
+            else:
+                return jax.jit(fun, compiler_options={
+                    "xla_tpu_scoped_vmem_limit_kib": kib_int})
     return jax.jit(fun)
 
 logger = logging.getLogger("skellysim_tpu")
@@ -316,6 +324,27 @@ class System:
         if self.params.pair_evaluator == "ewald":
             stk, st = self._ewald_objects()
             stk.mesh = st.mesh = self.mesh
+            from skellysim_tpu.kernels.ewald_sharded import (shard_spectra,
+                                                             slab_grid_ok)
+
+            if slab_grid_ok(stk.grid, n_devices):
+                # place the tabulated spectra y-sharded so each device
+                # physically holds 1/n_devices of the dominant buffer —
+                # matches far_field_apply_slabbed's in_specs exactly
+                grid_sh = shard_spectra(stk.grid, self.mesh)
+                stk.grid = grid_sh
+                st.grid = grid_sh
+                logger.info("ewald spectra y-sharded across %d devices "
+                            "(%.0f MB/device)", n_devices,
+                            7 * grid_sh.shape[0] * grid_sh.shape[1]
+                            * (grid_sh.shape[2] // 2 + 1)
+                            * jnp.dtype(self.dtype).itemsize
+                            / n_devices / 2**20)
+            else:
+                logger.info("ewald grid %s not slab-decomposable across %d "
+                            "devices; far field falls back to the "
+                            "replicated-convolve path", stk.grid.shape,
+                            n_devices)
         logger.info("mesh: %d devices (%s); fibers batch-sharded, "
                     "shell rows sharded, bodies replicated",
                     n_devices, self.mesh.devices.ravel()[0].platform)
@@ -454,7 +483,12 @@ class System:
                   support=support,
                   cap=self.params.ewald_cap, dtype=self.dtype,
                   near_mxu=self.params.ewald_near_mxu,
-                  near_poly=self.params.ewald_near_poly)
+                  near_poly=self.params.ewald_near_poly,
+                  # mesh runs: pad the FFT y dim so the slab-decomposed
+                  # distributed far field can transpose across the devices
+                  # (ewald_sharded.far_field_apply_slabbed)
+                  y_multiple=(getattr(self, "_mesh_devices", 1)
+                              if self.mesh is not None else 1))
         _t = _walltime.perf_counter()
         stk = EwaldStokeslet(**kw)
         jax.block_until_ready(stk.grid.khat)
@@ -597,7 +631,7 @@ class System:
         has_background = self.background.is_active
         has_shell = self.shell is not None
         interaction = p.periphery_interaction_flag and has_shell
-        shell_shape = self.shell.shape if has_shell else None
+        shell_shape = self.shell.interaction_shape if has_shell else None
         shell_radius = self.shell.radius if has_shell else 0.0
         shell_abc = self.shell.abc if has_shell else (0.0, 0.0, 0.0)
         shell_meridian = (jnp.asarray(self.shell.meridian, self.dtype)
@@ -1121,7 +1155,7 @@ class System:
         (system.cpp:576-595, fiber_container_finite_difference.cpp:39-54)."""
         if self.shell is None:
             return None
-        shape = self.shell.shape
+        shape = self.shell.interaction_shape
         radius = self.shell.radius
         abc = self.shell.abc
         meridian = (jnp.asarray(self.shell.meridian, self.dtype)
@@ -1172,7 +1206,7 @@ class System:
         has_background = self.background.is_active
         ops = self.fibers.ops
         F = self.fiber_solution_size()
-        shell_shape = self.shell.shape if has_shell else None
+        shell_shape = self.shell.interaction_shape if has_shell else None
         shell_radius = self.shell.radius if has_shell else 0.0
         shell_abc = self.shell.abc if has_shell else (0.0, 0.0, 0.0)
         shell_meridian = (jnp.asarray(self.shell.meridian, self.dtype)
@@ -1320,9 +1354,9 @@ class System:
         nrm = np.maximum(np.linalg.norm(end, axis=-1), 1e-300)
         angle = np.arccos(np.clip(end[:, 2] / nrm, -1, 1))
         thr = pb["threshold"]
-        if self.shell.shape == "sphere":
+        if self.shell.interaction_shape == "sphere":
             near = np.any(np.linalg.norm(x, axis=-1) >= self.shell.radius - thr, axis=1)
-        elif self.shell.shape == "ellipsoid":
+        elif self.shell.interaction_shape == "ellipsoid":
             near = np.asarray(jax.vmap(
                 lambda xf: shell_ops.ellipsoid_collision(
                     self.shell.abc, xf, thr))(jnp.asarray(x)))

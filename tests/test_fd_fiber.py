@@ -192,3 +192,40 @@ def test_factorize_chunked_matches_flat(monkeypatch):
     assert chunked.shape == flat.shape
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(flat),
                                rtol=0, atol=1e-13 * np.abs(flat).max())
+
+
+def test_update_cache_chunked_matches_flat(monkeypatch):
+    """The lax.map-chunked cache build (assembly was the r4b 1M OOM: seven
+    ~1.9 GB BC-pipeline temps) must match the flat path bit-for-bit in f64,
+    including the non-divisible-batch pad and inactive slots."""
+    import skellysim_tpu.fibers.fd_fiber as fd
+
+    rng = np.random.default_rng(11)
+    n, B = 16, 13                      # 13 % chunk != 0 exercises the pad
+    x = np.zeros((B, n, 3))
+    for b in range(B):
+        x[b, :, 2] = np.linspace(0, 0.6 + 0.02 * b, n)
+        x[b, :, 0] = 0.01 * rng.normal(size=n)
+    block = make_fiber_block(x, 0.7, 0.0025, force_scale=0.3)
+    block = block.replace(active=jnp.asarray([True] * (B - 2) + [False] * 2))
+    ops = FiberOperators.for_node_count(n)
+    bc_minus = jnp.asarray([BC_MINUS_CLAMPED, BC_MINUS_FREE] * 6 + [BC_MINUS_FREE])
+    bc_plus = jnp.full((B,), BC_PLUS_FREE)
+    flow = jnp.asarray(rng.normal(size=(B, n, 3)) * 1e-3)
+    f_ext = jnp.asarray(rng.normal(size=(B, n, 3)) * 1e-2)
+    args = (block, ops, 0.7, jnp.asarray(1e-4), bc_minus, bc_plus)
+    kw = dict(flow=flow, f_external=f_ext,
+              v_on_fiber=jnp.asarray(rng.normal(size=(B, n, 3)) * 1e-3),
+              f_on_fiber=jnp.asarray(rng.normal(size=(B, n, 3)) * 1e-3))
+    flat = fd._update_cache_impl(*args, **kw)
+    # force the chunked path with a chunk that doesn't divide B
+    monkeypatch.setattr(fd, "_FACTORIZE_CHUNK_INPUT_BYTES", 1)
+    monkeypatch.setattr(fd, "_FACTORIZE_CHUNK_TARGET_BYTES",
+                        4 * (4 * n) ** 2 * 8)
+    chunked = fd.update_cache(*args, **kw)
+    for name in ("A", "A_lu", "RHS", "force_operator", "xs", "xssss"):
+        a, b = np.asarray(getattr(flat, name)), np.asarray(getattr(chunked, name))
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=1e-12 * max(np.abs(a).max(), 1.0),
+                                   err_msg=name)
