@@ -188,25 +188,10 @@ def _kernel_component(idx, a, X, Y, Z):
     return out
 
 
-@partial(jax.jit, static_argnames=("a", "idx", "n_chunks", "m_chunks"))
-def _tabulate_component(a, idx, axx, axy, axz, tx, ty, tz, wkx, wky, wkz,
-                        n_chunks=1, m_chunks=1):
-    """Device-side tabulation of ONE deconvolved far-kernel spectrum.
-
-    All 3-D work (kernel tabulation on the padded grid, the seam taper,
-    the rFFT, window deconvolution) runs where the evaluator will run;
-    only the 1-D axis offsets, tapers, and window spectra are inputs. This
-    matters on remote accelerators: the spectra are GB-scale at 1e6-point
-    grids, the 1-D inputs are KB.
-
-    Memory discipline (the round-3 1M-point OOM was ~20 co-resident
-    full-grid FFT temps, docs/chip_logs/r3c/oocyte_1m.err): components are
-    tabulated ONE AT A TIME (separate jit calls free each component's
-    temps), the z/y transforms stream over x-slabs (``n_chunks``), the x
-    transform + deconvolution stream over y-slabs (``m_chunks``), and only
-    the REAL part is kept — every component is even or odd per axis, so
-    its DFT is real up to the taper-killed Nyquist samples (~1e-12).
-    """
+def _tabulate_one(a, idx, axx, axy, axz, tx, ty, tz, wkx, wky, wkz,
+                  n_chunks=1, m_chunks=1):
+    """Tabulation body of ONE deconvolved far-kernel spectrum (see
+    ``_tabulate_component``); call under an outer jit."""
     comp_dt = axx.dtype
     Gx, Gy, Gz = axx.shape[0], axy.shape[0], axz.shape[0]
     Gzr = Gz // 2 + 1
@@ -243,6 +228,48 @@ def _tabulate_component(a, idx, axx, axy, axz, tx, ty, tz, wkx, wky, wkz,
     out = jnp.zeros((Gx, Gy, Gzr), comp_dt)
     return (jax.lax.fori_loop(0, m_chunks, pass2, out) if m_chunks > 1
             else pass2(0, out))
+
+
+@partial(jax.jit, static_argnames=("a", "idx", "n_chunks", "m_chunks"))
+def _tabulate_component(a, idx, axx, axy, axz, tx, ty, tz, wkx, wky, wkz,
+                        n_chunks=1, m_chunks=1):
+    """Device-side tabulation of ONE deconvolved far-kernel spectrum.
+
+    All 3-D work (kernel tabulation on the padded grid, the seam taper,
+    the rFFT, window deconvolution) runs where the evaluator will run;
+    only the 1-D axis offsets, tapers, and window spectra are inputs. This
+    matters on remote accelerators: the spectra are GB-scale at 1e6-point
+    grids, the 1-D inputs are KB.
+
+    Memory discipline (the round-3 1M-point OOM was ~20 co-resident
+    full-grid FFT temps, docs/chip_logs/r3c/oocyte_1m.err): components are
+    tabulated ONE AT A TIME (separate jit calls free each component's
+    temps), the z/y transforms stream over x-slabs (``n_chunks``), the x
+    transform + deconvolution stream over y-slabs (``m_chunks``), and only
+    the REAL part is kept — every component is even or odd per axis, so
+    its DFT is real up to the taper-killed Nyquist samples (~1e-12).
+    """
+    return _tabulate_one(a, idx, axx, axy, axz, tx, ty, tz, wkx, wky, wkz,
+                         n_chunks, m_chunks)
+
+
+@partial(jax.jit, static_argnames=("a", "n_chunks", "m_chunks"))
+def _tabulate_all(a, axx, axy, axz, tx, ty, tz, wkx, wky, wkz,
+                  n_chunks=1, m_chunks=1):
+    """All 7 spectra in ONE compiled program (warm-init lever, VERDICT r4
+    #9: seven separate jits cost seven compile round-trips on the tunneled
+    remote-compile backend — 60-85 s of the warm oocyte init). Components
+    still run sequentially behind optimization barriers so their FFT temps
+    never co-reside (same discipline as ``_tabulate_component``)."""
+    outs = []
+    for idx in range(7):
+        out = _tabulate_one(a, idx, axx, axy, axz, tx, ty, tz,
+                            wkx, wky, wkz, n_chunks, m_chunks)
+        outs.append(out)
+        # pin the schedule: component idx completes (and its temps die)
+        # before component idx+1 starts
+        outs = list(jax.lax.optimization_barrier(tuple(outs)))
+    return tuple(outs)
 
 
 def _pow2_chunks(G: int, cells: int, target: float, cap: int = 32) -> int:
@@ -367,12 +394,10 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, a: float,
     Gzr = padded[2] // 2 + 1
     n_chunks = _pow2_chunks(padded[0], cells, 6e7)
     m_chunks = _pow2_chunks(padded[1], padded[0] * padded[1] * Gzr, 4e7)
-    khat = tuple(
-        _tabulate_component(float(a), i, *one_d, n_chunks=n_chunks,
-                            m_chunks=m_chunks).astype(dtype)
-        for i in range(6))
-    phihat = _tabulate_component(float(a), 6, *one_d, n_chunks=n_chunks,
-                                 m_chunks=m_chunks).astype(dtype)
+    comps = _tabulate_all(float(a), *one_d, n_chunks=n_chunks,
+                          m_chunks=m_chunks)
+    khat = tuple(c.astype(dtype) for c in comps[:6])
+    phihat = comps[6].astype(dtype)
 
     return EwaldGrid(lo=jnp.asarray(lo, dtype), h=float(h), shape=padded,
                      sigma=float(sigma), support=int(support),

@@ -414,6 +414,11 @@ class System:
         if self.bodies.n_bodies:
             caches = bcont.update_caches(self.bodies.states(), self.params.eta)
             geom.append(bcont.positions(caches))
+        # multi-process: the fiber batch is process-sharded — allgather to
+        # hosts before the host-side box/capacity sizing (collective)
+        from skellysim_tpu.parallel import mesh as _pmesh
+
+        geom = _pmesh.host_global(geom)
         pts = [np.asarray(g).reshape(-1, 3) for g in geom if np.size(g)]
         allp = np.concatenate(pts, axis=0) if pts else np.zeros((1, 3))
         # the np.asarray pulls block on every queued device op (fiber repin,
@@ -1740,7 +1745,8 @@ class System:
             self._writer = tio.TrajectoryWriter(self._output_file, resume=resume)
 
     def _rng_state_strings(self) -> List[List[str]]:
-        return self.rng.dump()
+        # per-rank pairs (io_maps.hpp:31-39); collective when multi-process
+        return self.rng.dump_all()
 
     def _frame_dict(self) -> dict:
         # multi-process runs: gather the process-sharded fiber blocks to

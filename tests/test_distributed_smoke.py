@@ -115,3 +115,90 @@ cfg.save(r"{tmp_path}/skelly_config.toml")
     # f64 after two implicit solves (this is a LAYOUT difference, unlike
     # test_system_mesh's same-process 1e-12 gates)
     np.testing.assert_allclose(x_last, x1, rtol=0, atol=3e-8)
+
+
+def test_two_process_distributed_ewald(tmp_path):
+    """2-process ewald-tier run (VERDICT r4 #7): the spectral far/near
+    applies under jax.distributed had never run multi-process. Asserts
+    rank-0-only write, per-rank rng_state pairs in frames
+    (io_maps.hpp:31-39), and trajectory match vs a single-process run
+    within the f32-evaluator class."""
+    gen = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from skellysim_tpu.config import Config, Fiber, Params, perturbed_fiber_positions
+rng = np.random.default_rng(4)
+fibers = []
+for i in range(6):
+    base = np.array([np.cos(i), np.sin(i), 0.1 * i])
+    x = perturbed_fiber_positions(0.02, 1.0, base, [0., 0., 1.], 8, rng=rng)
+    fibers.append(Fiber(n_nodes=8, length=1.0, bending_rigidity=0.01,
+                        radius=0.0125, x=x.ravel().tolist()))
+cfg = Config(params=Params(eta=1.0, dt_initial=5e-3, dt_write=5e-3,
+                           t_final=0.012, gmres_tol=1e-4,
+                           pair_evaluator="ewald"),
+             fibers=fibers)
+cfg.save(r"{tmp_path}/skelly_config.toml")
+"""
+    subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO,
+                   env={**os.environ, "PYTHONPATH": REPO}, timeout=240)
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = {**os.environ,
+               "PYTHONPATH": REPO,
+               "SKELLY_COORDINATOR": f"127.0.0.1:{port}",
+               "SKELLY_NUM_PROCESSES": "2",
+               "SKELLY_PROCESS_ID": str(pid),
+               "SKELLY_SLAB": "1",   # the mesh far field is slab-only
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "skellysim_tpu.cli",
+             "--config-file", "skelly_config.toml", "--distributed",
+             "--platform", "cpu", "--overwrite"],
+            cwd=tmp_path, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+
+    sys.path.insert(0, REPO)
+    from skellysim_tpu.io.trajectory import TrajectoryReader
+
+    traj = tmp_path / "skelly_sim.out"
+    assert traj.exists()
+    r = TrajectoryReader(str(traj))
+    assert len(r) >= 2
+    r.load_frame(len(r) - 1)
+    # per-rank rng_state pairs (2 processes -> 2 [shared, local] pairs)
+    assert len(r["rng_state"]) == 2
+    assert r["rng_state"][0][0] == r["rng_state"][1][0]   # shared stream
+    assert r["rng_state"][0][1] != r["rng_state"][1][1]   # local streams
+    x_last = np.asarray(r["fibers"][0]["x_"])
+    assert np.all(np.isfinite(x_last))
+
+    # single-process ewald reference
+    single = tmp_path / "single"
+    single.mkdir()
+    (single / "skelly_config.toml").write_bytes(
+        (tmp_path / "skelly_config.toml").read_bytes())
+    env1 = {**os.environ, "PYTHONPATH": REPO, "SKELLY_SLAB": "1",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    out1 = subprocess.run(
+        [sys.executable, "-m", "skellysim_tpu.cli",
+         "--config-file", "skelly_config.toml", "--platform", "cpu",
+         "--overwrite"],
+        cwd=single, env=env1, capture_output=True, text=True, timeout=540)
+    assert out1.returncode == 0, out1.stderr[-3000:]
+    r1 = TrajectoryReader(str(single / "skelly_sim.out"))
+    assert len(r1) == len(r)
+    r1.load_frame(len(r1) - 1)
+    x1 = np.asarray(r1["fibers"][0]["x_"])
+    # ewald-tier tolerance: grid padding differs (y_multiple=4 on the
+    # mesh) so the far fields agree to the evaluator class, not bitwise
+    np.testing.assert_allclose(x_last, x1, rtol=0,
+                               atol=5e-5 * np.abs(x1).max())
