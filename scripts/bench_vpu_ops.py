@@ -94,6 +94,89 @@ def _measure_vpu_peak():
     return rate, t_rtt
 
 
+def _calibrate_ceiling():
+    """Settle the round-4 dual-issue question with op-pure chains.
+
+    Round 4 left the roofline without a denominator: the production
+    stokeslet measured 2.58-2.9 TFLOP/s, ABOVE the assumed 1.92 TFLOP/s
+    "937.5 MHz × 1024 lanes × FMA" peak, and ~1.9× the logistic-chain slot
+    bound, attributed to "multiple ALUs per lane position" without a
+    confirming experiment (docs/roofline.md). This runs four VMEM-resident
+    elementwise chains with per-step distinct constants (float reassociation
+    is rounding-unsafe, so the compiler cannot compose steps):
+
+      mul:      x ← x·c_i          1 op,  1 FLOP / elem / step
+      add:      x ← x + d_i        1 op,  1 FLOP
+      fma:      x ← x·c_i + d_i    1 op,  2 FLOP
+      logistic: x ← x·(c − d·x)    2 ops, 3 FLOP  (mul + FMA, dependent)
+
+    If ops/s(fma) ≈ ops/s(mul) and logistic runs at half that, issue is
+    single-slot and the FLOP ceiling is 2 × the FMA op rate. If the
+    logistic chain's op rate EXCEEDS the pure chains', the mul and FMA
+    co-issue (dual-issue confirmed) and the ceiling is the measured
+    co-issued FLOP rate. Returns a dict incl. vpu_ceiling_tflops — the
+    max sustained FLOP/s across chains — which bench.py uses as the MFU
+    denominator (persisted to docs/bench_records/vpu_ceiling.json)."""
+    m_rows, m_cols = 256, 2048                           # 2 MiB f32
+    m = m_rows * m_cols
+    x0 = jnp.linspace(0.5, 1.5, m, dtype=jnp.float32).reshape(m_rows, m_cols)
+    # per-step constants near 1 / 0 keep x in range over 2048 steps
+    cs = [np.float32(1.0 + (i % 7 - 3) * 1e-7) for i in range(8)]
+    ds = [np.float32((i % 5 - 2) * 1e-7) for i in range(8)]
+
+    def chain(update, steps_per_iter):
+        def make(k):
+            assert k % 8 == 0 or k == 1
+
+            def kern(x_ref, o_ref):
+                def body(i, x):
+                    for j in range(8 if k > 1 else 1):
+                        x = update(x, j)
+                    return x
+                o_ref[...] = jax.lax.fori_loop(0, max(k // 8, 1), body,
+                                               x_ref[...])
+
+            @jax.jit
+            def go():
+                y = pl.pallas_call(
+                    kern, out_shape=jax.ShapeDtypeStruct(
+                        (m_rows, m_cols), jnp.float32))(x0)
+                return jnp.sum(y)
+
+            return go
+
+        rate, marg = _chain_rate(make, 2048, float(m) * steps_per_iter)
+        rate2, marg2 = _chain_rate(make, 2048, float(m) * steps_per_iter)
+        spread = abs(marg - marg2) / (0.5 * (marg + marg2))
+        return 0.5 * (rate + rate2), spread               # steps·elem / s
+
+    out = {}
+    chains = {
+        "mul": (lambda x, j: x * cs[j], 1, 1.0),
+        "add": (lambda x, j: x + ds[j], 1, 1.0),
+        "fma": (lambda x, j: x * cs[j] + ds[j], 1, 2.0),
+        "logistic": (lambda x, j: x * (cs[j] - ds[j] * x), 1, 3.0),
+    }
+    best_tflops = 0.0
+    for name, (upd, steps, flops) in chains.items():
+        r, spread = chain(upd, steps)
+        out[name + "_elemops_per_s"] = round(r, 0)
+        out[name + "_tflops"] = round(r * flops / 1e12, 3)
+        out[name + "_repeat_spread"] = round(spread, 3)
+        if spread < 0.15:
+            best_tflops = max(best_tflops, r * flops / 1e12)
+    # dual-issue verdict: logistic does 2 ops (mul + FMA) per step — if
+    # its per-step rate matches the single-op chains, both issued together
+    lg, fm = out.get("logistic_elemops_per_s", 0), out.get("fma_elemops_per_s", 1)
+    out["dual_issue_ratio"] = round(lg / fm, 3) if fm else None
+    out["dual_issue_confirmed"] = bool(lg > 0.7 * fm)
+    out["vpu_ceiling_tflops"] = round(best_tflops, 3)
+    out["method"] = ("max sustained FLOP/s over op-pure VMEM-resident "
+                     "chains (mul/add/fma/logistic), 2K-K differenced, "
+                     "FMA=2 FLOP")
+    return out
+
+
 def _stokeslet_variant(variant, src_ref, f_ref, trg_ref, out_ref):
     S = src_ref.shape[1]
     n_chunks = S // CHUNK_S

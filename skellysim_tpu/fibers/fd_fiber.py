@@ -601,6 +601,10 @@ def factorize(A: jax.Array):
     if B * m * m * A.dtype.itemsize > _FACTORIZE_CHUNK_INPUT_BYTES:
         chunk = max(1, _FACTORIZE_CHUNK_TARGET_BYTES
                     // max(m * m * A.dtype.itemsize, 1))
+        for div in range(chunk, max(chunk // 2, 1) - 1, -1):
+            if B % div == 0:   # avoid the pad → [:B] slice copy
+                chunk = div
+                break
         pad = (-B) % chunk
         A_p = jnp.concatenate(
             [A, jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), (pad, m, m))]
@@ -1037,6 +1041,13 @@ def update_cache(
             v_on_fiber, f_on_fiber, ops_lo=ops_lo, precond_bf16=precond_bf16)
 
     chunk = max(1, _FACTORIZE_CHUNK_TARGET_BYTES // max(m * m * itemsize, 1))
+    # prefer a chunk that DIVIDES B: the pad forces a [:B] slice on every
+    # unchunked output, and XLA materializes those slices as full copies —
+    # 4+ GB of pure waste at 31000×128² (r5a try2 allocations #1-#3)
+    for div in range(chunk, max(chunk // 2, 1) - 1, -1):
+        if B % div == 0:
+            chunk = div
+            break
     pad = (-B) % chunk
 
     def padded(a):
@@ -1075,6 +1086,8 @@ def update_cache(
             ops_lo=ops_lo, precond_bf16=precond_bf16)
 
     cache = jax.lax.map(body, mapped)
-    return jax.tree.map(
-        lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])[:B],
-        cache)
+
+    def unchunk(a):
+        flat = a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+        return flat[:B] if pad else flat
+    return jax.tree.map(unchunk, cache)

@@ -1283,12 +1283,24 @@ class EwaldStokeslet:
         """Positions-only slab binnings (sources for spread, targets for
         interp), reusable across every apply of a timestep — the binning's
         argsort/searchsorted is tens of ms at 1e5 points on TPU and was
-        being rebuilt inside every GMRES matvec. None on the non-slab (CPU)
-        and sharded paths, which bin internally."""
-        if not _use_slab() or self.mesh is not None:
+        being rebuilt inside every GMRES matvec. On a mesh with a
+        slab-decomposable grid this is the per-device sharded plan
+        (selection + local bins, ewald_sharded.make_far_plan_sharded);
+        None on the non-slab (CPU) path, which bins internally."""
+        dt = self.dtype
+        if self.mesh is not None:
+            from skellysim_tpu.kernels.ewald_sharded import (
+                make_far_plan_sharded, slab_grid_ok)
+
+            nd = int(np.prod(list(self.mesh.shape.values())))
+            if not slab_grid_ok(self.grid, nd):
+                return None
+            return make_far_plan_sharded(self.grid, self.mesh,
+                                         r_src.astype(dt), r_trg.astype(dt),
+                                         slab_cap=self.slab_cap)
+        if not _use_slab():
             return None
         g = self.grid
-        dt = self.dtype
         Gx = int(g.logical[0])
         cap = self.slab_cap or _slab_cap(r_src.shape[0], Gx)
         return (make_slab_bins(r_src.astype(dt), g.lo, g.h, Gx, g.support,
@@ -1319,6 +1331,12 @@ class EwaldStokeslet:
         nonzero tap — see refresh_slab_bins)."""
         if far_plan is None:
             return None
+        if self.mesh is not None:
+            # sharded plans rebuild instead of refreshing: a moved point
+            # can cross a slab-ownership boundary, which no gather-only
+            # refresh can follow (the structure matches, so this slots
+            # into the same lax.cond branch)
+            return self.make_far_plan(r_src, r_trg)
         g = self.grid
         dt = self.dtype
         return (refresh_slab_bins(far_plan[0], r_src.astype(dt),
@@ -1357,10 +1375,14 @@ class EwaldStokeslet:
             nd = int(np.prod(list(self.mesh.shape.values())))
             if slab_grid_ok(grid, nd):
                 # genuinely distributed tier: x-slab grid + y-slab spectra,
-                # O(grid/nd) per device (ewald_sharded module docstring)
+                # O(grid/nd) per device (ewald_sharded module docstring).
+                # far_plan (make_far_plan sharded form) skips the per-apply
+                # selection/binning sorts; sharded plans are always fresh
+                # (refresh_far rebuilds) so `wide` never applies here.
                 u_far = far_field_apply_slabbed(
                     grid, r_src.astype(dt), f_src.astype(dt),
-                    r_trg.astype(dt), self.mesh, slab_cap=self.slab_cap)
+                    r_trg.astype(dt), self.mesh, slab_cap=self.slab_cap,
+                    plan=far_plan)
             else:
                 u_far = far_field_apply_sharded(
                     grid, r_src.astype(dt), f_src.astype(dt),
@@ -1487,7 +1509,8 @@ class EwaldStresslet:
             if slab_grid_ok(grid, nd):
                 u_far = far_field_apply_slabbed(
                     grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,
-                    slab_cap=self.slab_cap, convolve="stresslet")
+                    slab_cap=self.slab_cap, convolve="stresslet",
+                    plan=far_plan)
             else:
                 u_far = far_field_apply_sharded(
                     grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,

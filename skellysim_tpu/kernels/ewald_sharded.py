@@ -236,10 +236,59 @@ def _kmul_stresslet(Dh, kh_loc, phihat_loc, grid: EwaldGrid, axis):
     return 1j * jnp.stack([ux, uy, uz])
 
 
+def _caps(N, Nt, nd, src_cap, trg_cap):
+    """Static compact-select caps: 3x the uniform share + margin absorbs
+    clustering; overflow is counted (far plan ``dropped`` / far_slab_dropped
+    to size). The SAME formula must be used by plan build and apply."""
+    if src_cap is None:
+        src_cap = min(N, -(-3 * N // nd // 128) * 128 + 128)
+    if trg_cap is None:
+        trg_cap = min(Nt, -(-3 * Nt // nd // 128) * 128 + 128)
+    return src_cap, trg_cap
+
+
+def make_far_plan_sharded(grid: EwaldGrid, mesh, r_src, r_trg,
+                          slab_cap=None, src_cap: int = None,
+                          trg_cap: int = None):
+    """Positions-only per-device far plan (selection indices + slab bins),
+    built ONCE per step and reused across every GMRES apply — the mesh
+    analogue of ``EwaldStokeslet.make_far_plan`` (the argsorts cost tens of
+    ms at 1e5 points per apply). Every leaf carries a leading length-1
+    local axis so the plan stacks/splits cleanly across the mesh
+    (out/in_specs P(axis)); ``dropped`` counts select-cap overflow."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    nd = _nd(mesh)
+    Lloc, W2 = _part(grid, nd)
+    L0 = int(grid.logical[0])
+    N, Nt = r_src.shape[0], r_trg.shape[0]
+    src_cap, trg_cap = _caps(N, Nt, nd, src_cap, trg_cap)
+
+    def body(r_s, r_t, lo):
+        rs_l, _, idx_s, drop_s = _select_local(r_s, None, lo, grid.h, L0,
+                                               Lloc, src_cap, axis)
+        bins_s, lo_s, _ = _local_bins(rs_l, lo, grid.h, Lloc, axis,
+                                      slab_cap, grid.support)
+        rt_l, _, idx_t, drop_t = _select_local(r_t, None, lo, grid.h, L0,
+                                               Lloc, trg_cap, axis)
+        bins_t, lo_t, _ = _local_bins(rt_l, lo, grid.h, Lloc, axis,
+                                      slab_cap, grid.support)
+        plan = {"idx_s": idx_s, "bins_s": bins_s, "lo_s": lo_s,
+                "idx_t": idx_t, "bins_t": bins_t, "lo_t": lo_t,
+                "dropped": (drop_s + drop_t).astype(jnp.int32)}
+        return jax.tree.map(lambda a: a[None], plan)
+
+    return shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                     out_specs=P(axis), check_vma=False)(
+        r_src, r_trg, grid.lo)
+
+
 def far_field_apply_slabbed(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
                             slab_cap=None, src_cap: int = None,
                             trg_cap: int = None,
-                            convolve: str = "stokeslet"):
+                            convolve: str = "stokeslet", plan=None):
     """Distributed far field with x-slab grid + y-slab spectra partition.
 
     f_src: (N, 3) stokeslet strengths, or (N, 6) symmetric dipole channels
@@ -261,24 +310,28 @@ def far_field_apply_slabbed(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
     L0 = int(grid.logical[0])
     N, Nt = r_src.shape[0], r_trg.shape[0]
     C = f_src.shape[1]
-    # static compact-select caps: 3x the uniform share + margin absorbs
-    # clustering; overflow is counted (use far_slab_dropped to size)
-    if src_cap is None:
-        src_cap = min(N, -(-3 * N // nd // 128) * 128 + 128)
-    if trg_cap is None:
-        trg_cap = min(Nt, -(-3 * Nt // nd // 128) * 128 + 128)
+    src_cap, trg_cap = _caps(N, Nt, nd, src_cap, trg_cap)
+    scap = slab_cap or _slab_cap(src_cap, Lloc)
+    tcap = slab_cap or _slab_cap(trg_cap, Lloc)
     # shard_spectra pre-stacks (and y-shards) the tuple; stacking a sharded
     # tuple here would re-layout, so accept both forms
     kh = (grid.khat if isinstance(grid.khat, jax.Array)
           else jnp.stack(grid.khat))           # (6, P0, P1, P2h)
     ph = grid.phihat
 
-    def body(r_s, f_s, r_t, kh_loc, ph_loc, lo):
-        rs_l, fs_l, _, _ = _select_local(r_s, f_s, lo, grid.h, L0, Lloc,
-                                         src_cap, axis)
-        bins_s, lo_s, scap = _local_bins(rs_l, lo, grid.h, Lloc, axis,
-                                         slab_cap, grid.support)
-        buf = _spread_slab(rs_l, fs_l, lo_s, grid.h,
+    def body(r_s, f_s, r_t, kh_loc, ph_loc, lo, plan_l):
+        if plan_l is None:
+            rs_l, fs_l, _, _ = _select_local(r_s, f_s, lo, grid.h, L0, Lloc,
+                                             src_cap, axis)
+            bins_s, lo_s, _ = _local_bins(rs_l, lo, grid.h, Lloc, axis,
+                                          slab_cap, grid.support)
+        else:
+            pl = jax.tree.map(lambda a: a[0], plan_l)
+            idx_s = pl["idx_s"]
+            fs_l = jnp.where((idx_s < N)[:, None],
+                             f_s[jnp.clip(idx_s, 0, N - 1)], 0.0)
+            bins_s, lo_s = pl["bins_s"], pl["lo_s"]
+        buf = _spread_slab(fs_l, fs_l, lo_s, grid.h,
                            (Lloc, int(grid.logical[1]), int(grid.logical[2])),
                            grid.support, cap=scap, bins=bins_s,
                            padded_out=True)
@@ -289,10 +342,14 @@ def far_field_apply_slabbed(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
         else:
             uh = _kmul_stresslet(fh, kh_loc, ph_loc, grid, axis)
         u_loc = _fft_inv_local(uh, grid, Lx, Lloc, axis)
-        rt_l, _, idx_t, _ = _select_local(r_t, None, lo, grid.h, L0, Lloc,
-                                          trg_cap, axis)
-        bins_t, lo_t, tcap = _local_bins(rt_l, lo, grid.h, Lloc, axis,
-                                         slab_cap, grid.support)
+        if plan_l is None:
+            rt_l, _, idx_t, _ = _select_local(r_t, None, lo, grid.h, L0,
+                                              Lloc, trg_cap, axis)
+            bins_t, lo_t, _ = _local_bins(rt_l, lo, grid.h, Lloc, axis,
+                                          slab_cap, grid.support)
+        else:
+            idx_t, bins_t, lo_t = pl["idx_t"], pl["bins_t"], pl["lo_t"]
+            rt_l = jnp.zeros((trg_cap, 3), r_t.dtype)   # bins carry geometry
         gpad = _halo_read(u_loc, Lloc, W2, axis)
         u_pts = _interp_slab(gpad, rt_l, lo_t, grid.h, grid.support,
                              cap=tcap, bins=bins_t, halo_in=True)
@@ -301,12 +358,14 @@ def far_field_apply_slabbed(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
             jnp.where((idx_t < Nt)[:, None], u_pts, 0.0), mode="drop")
         return jax.lax.psum(out, axis)
 
+    plan_spec = (None if plan is None
+                 else jax.tree.map(lambda _: P(axis), plan))
     u = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, None, axis, None),
-                  P(None, axis, None), P()),
+                  P(None, axis, None), P(), plan_spec),
         out_specs=P(), check_vma=False)(
-        r_src, f_src, r_trg, kh, ph, grid.lo)
+        r_src, f_src, r_trg, kh, ph, grid.lo, plan)
     return u
 
 

@@ -716,7 +716,17 @@ class System:
 
             plan_skin = float(getattr(ew_stk, "skin", 0.0))
             far_bound = 0.5 * float(ew_stk.grid.h)
-            has_far_plans = _use_slab() and ew_stk.mesh is None
+            if ew_stk.mesh is not None:
+                from skellysim_tpu.kernels.ewald_sharded import slab_grid_ok
+
+                # sharded far plans (selection + per-device bins) exist
+                # whenever the grid slab-decomposes; they rebuild instead
+                # of refreshing (ownership can change) but still amortize
+                # the sorts across every GMRES apply of a step
+                has_far_plans = slab_grid_ok(
+                    ew_stk.grid, getattr(self, "_mesh_devices", 1))
+            else:
+                has_far_plans = _use_slab()
             any_tier = (ewald_fib_tier or (has_shell and ewald_shell_tier)
                         or (has_bodies and ewald_body_tier))
             plan_reuse = plan_skin > 0 and any_tier
@@ -863,6 +873,12 @@ class System:
                     wide = False
                 for k, _, _, _ in tier_specs:
                     ewald_dropped = ewald_dropped + plans[k].dropped
+                if has_far_plans and ew_stk.mesh is not None:
+                    # sharded far plans: per-device select-cap overflow
+                    for k, _, _, _ in tier_specs:
+                        if fars.get(k) is not None:
+                            ewald_dropped = ewald_dropped + jnp.max(
+                                fars[k]["dropped"])
 
                 if ewald_fib_tier:
                     from skellysim_tpu.kernels.ewald import slab_dropped as _sd

@@ -127,3 +127,40 @@ def test_evaluator_apply_with_mesh_uses_slabbed_path(mesh8, monkeypatch):
     scale = float(jnp.max(jnp.abs(u_ref)))
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
                                rtol=0, atol=1e-10 * scale)
+
+
+def test_far_plan_sharded_matches_planless(mesh8):
+    """Per-step sharded far plans (selection + local bins) must reproduce
+    the in-apply binning exactly — the mesh analogue of far-plan reuse."""
+    grid, r_src, r_trg = _grid_and_points(500, seed=7)
+    rng = np.random.default_rng(8)
+    f = jnp.asarray(rng.normal(size=(500, 3)), jnp.float64)
+    ref = ews.far_field_apply_slabbed(grid, r_src, f, r_trg, mesh8)
+    plan = ews.make_far_plan_sharded(grid, mesh8, r_src, r_trg)
+    assert int(jnp.max(plan["dropped"])) == 0
+    out = ews.far_field_apply_slabbed(grid, r_src, f, r_trg, mesh8,
+                                      plan=plan)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_system_mesh_ewald_uses_far_plans(mesh8):
+    """System on a mesh with ewald: step parity vs single-device now runs
+    through sharded far plans (has_far_plans on the mesh path)."""
+    import tests.test_system_mesh as tsm
+    from skellysim_tpu.system import System
+
+    cfg = tsm._config(8, n_nodes=8, evaluator="ewald", gmres_tol=1e-6)
+    # a fine enough splitting width that the grid's x extent slab-
+    # decomposes across 8 devices (Lloc >= support//2 + 1)
+    cfg["params"]["ewald_a"] = 0.12
+    s1 = System(cfg)
+    s1.step()
+    sol1 = np.asarray(s1.curr_solution)
+    s8 = System(cfg, n_devices=8)
+    from skellysim_tpu.kernels.ewald_sharded import slab_grid_ok
+    stk, _ = s8._ewald_objects()
+    assert stk.mesh is not None and slab_grid_ok(stk.grid, 8)
+    s8.step()
+    sol8 = np.asarray(s8.curr_solution)
+    dev = np.abs(sol8 - sol1).max() / (np.abs(sol1).max() + 1e-30)
+    assert dev < 1e-8, dev
