@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_config(args):
+def build_config(args, geometry=True):
     from skellysim_tpu.config import Config, Fiber, Periphery
 
     config = Config()
@@ -84,6 +84,8 @@ def build_config(args):
                                      n_nodes=args.shell_nodes,
                                      envelope=envelope,
                                      precompute_file="periphery_precompute.npz")
+    if not geometry:
+        return config
     config.fibers = [Fiber(length=1.0, bending_rigidity=2.5e-3,
                            force_scale=-0.05, minus_clamped=True,
                            n_nodes=args.fiber_nodes)
@@ -185,11 +187,27 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    config = build_config(args)
-    config.save("skelly_config.toml")
+    # the oocyte geometry (31k-fiber surface placement + the 65 MB TOML
+    # round-trip) costs ~10 min per run; cache the parsed config dict
+    # keyed by the geometry args, refreshing only the params table
+    import hashlib
+    import pickle
+    geo_key = repr((args.shape, args.fibers, args.fiber_nodes,
+                    args.shell_nodes, args.ds_min))
+    cache = f"config_cache_{hashlib.md5(geo_key.encode()).hexdigest()[:10]}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            cfg = pickle.load(fh)
+        cfg["params"] = build_config(args, geometry=False).to_dict()["params"]
+        print("config: loaded from cache", file=sys.stderr)
+    else:
+        config = build_config(args)
+        config.save("skelly_config.toml")
 
-    from skellysim_tpu.io import tomlio
-    cfg = tomlio.load("skelly_config.toml")
+        from skellysim_tpu.io import tomlio
+        cfg = tomlio.load("skelly_config.toml")
+        with open(cache, "wb") as fh:
+            pickle.dump(cfg, fh, protocol=4)
 
     t0 = time.perf_counter()
     if args.matrix_free:

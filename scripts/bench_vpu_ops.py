@@ -332,6 +332,17 @@ def _chain_rate(make_fn, reps, pairs_per_rep):
 
 
 def main():
+    if "--calibrate" in sys.argv[1:]:
+        out = _calibrate_ceiling()
+        print(json.dumps(out))
+        rec_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "bench_records")
+        os.makedirs(rec_dir, exist_ok=True)
+        with open(os.path.join(rec_dir, "vpu_ceiling.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"ceiling record -> {rec_dir}/vpu_ceiling.json",
+              file=sys.stderr)
+        return
     n = 8192
     # chain depth: the K and 2K marginals must dwarf the ~25 ms per-call
     # overhead's run-to-run noise (K=8 gave ~5 ms marginals → ~20% noise

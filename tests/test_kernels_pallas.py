@@ -51,3 +51,30 @@ def test_stresslet_pallas_parity(n_src, n_trg):
         jnp.array(r_src), jnp.array(S), jnp.array(r_trg), 1.1, interpret=True))
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=5e-5 * scale)
+
+
+def test_source_block_split_matches_single_call(monkeypatch):
+    """Above the VMEM source budget the wrappers sweep source blocks with
+    separate pallas_calls and sum; shrink the budget so a small problem
+    exercises the split (interpret mode, CPU)."""
+    import skellysim_tpu.kernels.pallas_tpu as kp
+
+    rng = np.random.default_rng(17)
+    n_s, n_t = 1500, 300
+    r_s = jnp.asarray(rng.uniform(-1, 1, (n_s, 3)))
+    f = jnp.asarray(rng.normal(size=(n_s, 3)))
+    S9 = jnp.asarray(rng.normal(size=(n_s, 3, 3)))
+    r_t = jnp.asarray(rng.uniform(-1, 1, (n_t, 3)))
+    ref_stk = kp.stokeslet_apply_pallas(r_s, f, r_t, 0.9, interpret=True)
+    ref_str = kp.stresslet_apply_pallas(r_s, S9, r_t, 0.9, interpret=True)
+    import jax
+
+    monkeypatch.setattr(kp, "_VMEM_SRC_BUDGET_BYTES", 512 * 6 * 4)
+    jax.clear_caches()   # the budget is read at trace time
+    out_stk = kp.stokeslet_apply_pallas(r_s, f, r_t, 0.9, interpret=True)
+    out_str = kp.stresslet_apply_pallas(r_s, S9, r_t, 0.9, interpret=True)
+    assert kp._src_block(6) == 512   # the split actually engaged
+    np.testing.assert_allclose(np.asarray(out_stk), np.asarray(ref_stk),
+                               rtol=0, atol=1e-6 * np.abs(ref_stk).max())
+    np.testing.assert_allclose(np.asarray(out_str), np.asarray(ref_str),
+                               rtol=0, atol=1e-6 * np.abs(ref_str).max())
