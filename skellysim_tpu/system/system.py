@@ -93,6 +93,69 @@ def select_evaluators(pair_evaluator: str):
     return None, None
 
 
+def _measured_tier_pick():
+    """Hybrid tier decision from MEASURED apply times, not a constant.
+
+    Reads the newest bench record (docs/bench_records/bench_*.json, written
+    by bench.py on the real chip) and builds per-coupling cost models from
+    its crossover table {n: dense ms, ewald ms}:
+
+      dense_ms(n_src, n_trg)  = n_src·n_trg / rate   (rate from the largest
+                                measured dense point — the pairwise kernels
+                                are throughput-flat at scale)
+      ewald_ms(n_src, n_trg)  = piecewise-linear in (n_src+n_trg)/2 over
+                                the measured points, linear extrapolation
+                                beyond (the spectral apply is O(N))
+
+    Returns (tier_fn, description) choosing ewald when its modeled apply
+    is cheaper, or None when no record with a crossover table exists (the
+    caller falls back to the 2e9-pair heuristic). Override either way with
+    params.ewald_hybrid = False (all-ewald)."""
+    import glob
+    import json as _json
+
+    rec_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "docs", "bench_records")
+    best, best_t = None, -1.0
+    for path in glob.glob(os.path.join(rec_dir, "bench_*.json")):
+        try:
+            t = os.path.getmtime(path)
+            with open(path) as fh:
+                rec = _json.load(fh)
+        except Exception:  # noqa: BLE001 — a bad record must not break init
+            continue
+        cross = rec.get("crossover_ms_per_apply") or {}
+        pts = {int(n): v for n, v in cross.items()
+               if v.get("dense_s") and v.get("ewald_s")}
+        if len(pts) >= 2 and t > best_t:
+            best, best_t = (pts, os.path.basename(path)), t
+    if best is None:
+        return None
+    pts, fname = best
+    ns = sorted(pts)
+    n_big = max(n for n in ns if pts[n]["dense_s"])
+    dense_rate = n_big * n_big / pts[n_big]["dense_s"]     # pairs per ms
+    xs = np.asarray(ns, np.float64)
+    ys = np.asarray([pts[n]["ewald_s"] for n in ns], np.float64)
+
+    def ewald_ms(n_eff):
+        if n_eff <= xs[0]:
+            return ys[0]
+        if n_eff >= xs[-1]:   # O(N) extrapolation from the last segment
+            slope = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2])
+            return ys[-1] + slope * (n_eff - xs[-1])
+        return float(np.interp(n_eff, xs, ys))
+
+    def tier(n_src, n_trg):
+        if n_src == 0 or n_trg == 0:
+            return False
+        d = n_src * n_trg / dense_rate
+        e = ewald_ms(0.5 * (n_src + n_trg))
+        return e < d
+
+    return tier, f"measured crossover model ({fname})"
+
+
 def _pairlist_total(pts: np.ndarray, lo, r_cut: float,
                     skin: float = 0.0) -> int:
     """Candidate cluster-pair total for capacity sizing — delegates to the
@@ -695,21 +758,31 @@ class System:
             # half a spectral apply at single-chip scales.
             n_shell_nodes = self.shell.state.n_nodes if has_shell else 0
             n_all_nodes = Nf + n_shell_nodes + Nb
-            _cutoff = 2e9 if p.ewald_hybrid else -1.0
-            ewald_fib_tier = Nf * n_all_nodes > _cutoff
-            ewald_shell_tier = n_shell_nodes * (Nf + Nb) > _cutoff
-            ewald_body_tier = Nb * n_all_nodes > _cutoff
+            _pick = _measured_tier_pick()
+            if not p.ewald_hybrid:
+                tier = lambda n_s, n_t: True
+                _how = "hybrid off"
+            elif _pick is not None:
+                tier, _how = _pick
+            else:
+                # fallback heuristic when no measured crossover record
+                # exists: 2e9 pairs ≈ 100-150 ms of dense Pallas work
+                tier = lambda n_s, n_t: n_s * n_t > 2e9
+                _how = "heuristic cutoff 2e9 pairs (no bench record)"
+            ewald_fib_tier = tier(Nf, n_all_nodes)
+            ewald_shell_tier = tier(n_shell_nodes, Nf + Nb)
+            ewald_body_tier = tier(Nb, n_all_nodes)
             dense_stk, dense_str = select_evaluators("pallas")
             if p.ewald_hybrid:
                 logger.info(
                     "ewald hybrid tiers: fiber stokeslet=%s shell "
                     "stresslet=%s body stresslet=%s (dense pair counts "
-                    "%.2g / %.2g / %.2g, cutoff %.2g)",
+                    "%.2g / %.2g / %.2g; %s)",
                     "ewald" if ewald_fib_tier else "dense",
                     "ewald" if ewald_shell_tier else "dense",
                     "ewald" if ewald_body_tier else "dense",
                     Nf * n_all_nodes, n_shell_nodes * (Nf + Nb),
-                    Nb * n_all_nodes, _cutoff)
+                    Nb * n_all_nodes, _how)
 
         if use_ewald:
             from skellysim_tpu.kernels.ewald import _use_slab

@@ -177,3 +177,35 @@ def test_spectra_budget_grows_splitting_width(monkeypatch):
     x_e = np.concatenate([np.asarray(b.x).ravel()
                           for b in s_cap.fibers.blocks])
     assert np.abs(x_d - x_e).max() < 1e-6
+
+
+def test_measured_tier_pick_uses_crossover_record(tmp_path, monkeypatch):
+    """The hybrid tier decision prefers the measured crossover model from
+    docs/bench_records over the 2e9-pair heuristic (VERDICT r4 #3)."""
+    import json
+    import os
+
+    import skellysim_tpu.system.system as ss
+
+    rec_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(ss.__file__)))), "docs", "bench_records")
+    os.makedirs(rec_dir, exist_ok=True)
+    path = os.path.join(rec_dir, "bench_testtier_accel.json")
+    rec = {"crossover_ms_per_apply": {
+        "20000": {"dense_s": 4.4, "ewald_s": 15.5},
+        "100000": {"dense_s": 102.8, "ewald_s": 44.2},
+        "300000": {"dense_s": 921.9, "ewald_s": 151.5}}}
+    with open(path, "w") as fh:
+        json.dump(rec, fh)
+    try:
+        got = ss._measured_tier_pick()
+        assert got is not None
+        tier, how = got
+        assert "measured crossover model" in how
+        # r4 measured truth: dense wins at 20k, ewald wins at >=300k
+        assert not tier(20000, 20000)
+        assert tier(300000, 300000)
+        assert tier(1000000, 1000000)          # O(N) extrapolation
+        assert not tier(0, 100000)             # empty coupling stays dense
+    finally:
+        os.remove(path)
