@@ -273,3 +273,28 @@ def test_sequential_convolve_matches_batch(monkeypatch):
     u1, v1 = np.asarray(stk.apply(r, f, r)), np.asarray(st.apply(r, S, r))
     assert np.abs(u1 - u0).max() <= 1e-6 * np.abs(u0).max()
     assert np.abs(v1 - v0).max() <= 1e-6 * np.abs(v0).max()
+
+
+def test_tabulate_all_matches_components():
+    """The one-program batched tabulation (warm-init lever) must equal the
+    per-component jits bit-for-bit."""
+    import numpy as np
+
+    from skellysim_tpu.kernels import ewald
+
+    rng = np.random.default_rng(3)
+    G = (16, 12, 20)
+    axes = [np.fft.fftfreq(p, d=1.0 / p) * 0.1 for p in G]
+    tapers = [np.ones(p) for p in G]
+    wks = [np.abs(rng.normal(size=(G[0],))) + 0.5,
+           np.abs(rng.normal(size=(G[1],))) + 0.5,
+           np.abs(rng.normal(size=(G[2] // 2 + 1,))) + 0.5]  # rfft half
+    one_d = [jnp.asarray(v, jnp.float64) for v in (*axes, *tapers, *wks)]
+    allc = ewald._tabulate_all(0.4, *one_d)
+    assert len(allc) == 7
+    for idx in range(7):
+        ref = np.asarray(ewald._tabulate_component(0.4, idx, *one_d))
+        # one fused program vs seven: fusion boundaries differ, so match
+        # to f64 roundoff rather than bitwise
+        np.testing.assert_allclose(np.asarray(allc[idx]), ref, rtol=0,
+                                   atol=1e-12 * np.abs(ref).max())
