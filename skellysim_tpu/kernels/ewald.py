@@ -1295,9 +1295,10 @@ class EwaldStokeslet:
             nd = int(np.prod(list(self.mesh.shape.values())))
             if not slab_grid_ok(self.grid, nd):
                 return None
-            return make_far_plan_sharded(self.grid, self.mesh,
-                                         r_src.astype(dt), r_trg.astype(dt),
-                                         slab_cap=self.slab_cap)
+            return make_far_plan_sharded(
+                self.grid, self.mesh, r_src.astype(dt), r_trg.astype(dt),
+                slab_cap=self.slab_cap,
+                select_mult=getattr(self, "far_select_mult", 3))
         if not _use_slab():
             return None
         g = self.grid
@@ -1382,7 +1383,8 @@ class EwaldStokeslet:
                 u_far = far_field_apply_slabbed(
                     grid, r_src.astype(dt), f_src.astype(dt),
                     r_trg.astype(dt), self.mesh, slab_cap=self.slab_cap,
-                    plan=far_plan)
+                    plan=far_plan,
+                    select_mult=getattr(self, "far_select_mult", 3))
             else:
                 u_far = far_field_apply_sharded(
                     grid, r_src.astype(dt), f_src.astype(dt),
@@ -1510,7 +1512,8 @@ class EwaldStresslet:
                 u_far = far_field_apply_slabbed(
                     grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,
                     slab_cap=self.slab_cap, convolve="stresslet",
-                    plan=far_plan)
+                    plan=far_plan,
+                    select_mult=getattr(self, "far_select_mult", 3))
             else:
                 u_far = far_field_apply_sharded(
                     grid, r_src.astype(dt), D, r_trg.astype(dt), self.mesh,

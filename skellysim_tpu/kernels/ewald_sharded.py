@@ -236,20 +236,22 @@ def _kmul_stresslet(Dh, kh_loc, phihat_loc, grid: EwaldGrid, axis):
     return 1j * jnp.stack([ux, uy, uz])
 
 
-def _caps(N, Nt, nd, src_cap, trg_cap):
-    """Static compact-select caps: 3x the uniform share + margin absorbs
-    clustering; overflow is counted (far plan ``dropped`` / far_slab_dropped
-    to size). The SAME formula must be used by plan build and apply."""
+def _caps(N, Nt, nd, src_cap, trg_cap, select_mult: int = 3):
+    """Static compact-select caps: ``select_mult``x the uniform share +
+    margin absorbs clustering; overflow is counted (far plan ``dropped`` /
+    far_slab_dropped to size) and the System doubles the evaluator's
+    far_select_mult on overflow. The SAME formula must be used by plan
+    build and apply."""
     if src_cap is None:
-        src_cap = min(N, -(-3 * N // nd // 128) * 128 + 128)
+        src_cap = min(N, -(-select_mult * N // nd // 128) * 128 + 128)
     if trg_cap is None:
-        trg_cap = min(Nt, -(-3 * Nt // nd // 128) * 128 + 128)
+        trg_cap = min(Nt, -(-select_mult * Nt // nd // 128) * 128 + 128)
     return src_cap, trg_cap
 
 
 def make_far_plan_sharded(grid: EwaldGrid, mesh, r_src, r_trg,
                           slab_cap=None, src_cap: int = None,
-                          trg_cap: int = None):
+                          trg_cap: int = None, select_mult: int = 3):
     """Positions-only per-device far plan (selection indices + slab bins),
     built ONCE per step and reused across every GMRES apply — the mesh
     analogue of ``EwaldStokeslet.make_far_plan`` (the argsorts cost tens of
@@ -264,7 +266,7 @@ def make_far_plan_sharded(grid: EwaldGrid, mesh, r_src, r_trg,
     Lloc, W2 = _part(grid, nd)
     L0 = int(grid.logical[0])
     N, Nt = r_src.shape[0], r_trg.shape[0]
-    src_cap, trg_cap = _caps(N, Nt, nd, src_cap, trg_cap)
+    src_cap, trg_cap = _caps(N, Nt, nd, src_cap, trg_cap, select_mult)
 
     def body(r_s, r_t, lo):
         rs_l, _, idx_s, drop_s = _select_local(r_s, None, lo, grid.h, L0,
@@ -288,7 +290,8 @@ def make_far_plan_sharded(grid: EwaldGrid, mesh, r_src, r_trg,
 def far_field_apply_slabbed(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
                             slab_cap=None, src_cap: int = None,
                             trg_cap: int = None,
-                            convolve: str = "stokeslet", plan=None):
+                            convolve: str = "stokeslet", plan=None,
+                            select_mult: int = 3):
     """Distributed far field with x-slab grid + y-slab spectra partition.
 
     f_src: (N, 3) stokeslet strengths, or (N, 6) symmetric dipole channels
@@ -310,7 +313,7 @@ def far_field_apply_slabbed(grid: EwaldGrid, r_src, f_src, r_trg, mesh,
     L0 = int(grid.logical[0])
     N, Nt = r_src.shape[0], r_trg.shape[0]
     C = f_src.shape[1]
-    src_cap, trg_cap = _caps(N, Nt, nd, src_cap, trg_cap)
+    src_cap, trg_cap = _caps(N, Nt, nd, src_cap, trg_cap, select_mult)
     scap = slab_cap or _slab_cap(src_cap, Lloc)
     tcap = slab_cap or _slab_cap(trg_cap, Lloc)
     # shard_spectra pre-stacks (and y-shards) the tuple; stacking a sharded

@@ -1595,6 +1595,8 @@ class System:
                 ev.cap_t = 2 * ev.cap_t
                 ev.slab_cap = 2 * ev.slab_cap
                 ev.pair_total = 2 * ev.pair_total
+                # sharded far-field compact-select caps (mesh path)
+                ev.far_select_mult = 2 * getattr(ev, "far_select_mult", 3)
             logger.warning("ewald capacity overflow: regrown to "
                            "pair_total=%d slab=%d and recompiling",
                            stk.pair_total, stk.slab_cap)
