@@ -64,6 +64,7 @@ def build_config(args, geometry=True):
     if args.gmres_restart is not None:
         p.gmres_restart = args.gmres_restart
     p.fiber_precond_bf16 = args.fiber_precond_bf16
+    p.ewald_hybrid = args.hybrid
 
     if args.shape == "ellipsoid":
         # the reference's examples/ellipsoid config: 2000 fibers x 64 nodes
@@ -157,6 +158,9 @@ def main(argv=None):
                          "points allocates 2 GB the tol-1e-4 solve (0-5 "
                          "iters/step) never touches — the r4b retry OOMed "
                          "at compile by 2.8 GB with it")
+    ap.add_argument("--no-hybrid", dest="hybrid", action="store_false",
+                    help="force every coupling through the ewald tier "
+                         "(disable the measured/heuristic hybrid)")
     ap.add_argument("--fiber-precond-bf16", action="store_true",
                     help="bf16 fiber block-Jacobi inverse (precond-only "
                          "HBM lever; see fd_fiber.factorize)")

@@ -222,6 +222,12 @@ class Params:
         # "auto" for jax.device_count(); None runs single-device
         self.n_devices = g("n_devices", None)
         self.gmres_restart = g("gmres_restart", None)
+        # host-driven GMRES restart segmentation: one restart cycle per
+        # jitted call, partial solution threaded back as x0. None = auto
+        # (on for >1.2e6-DOF systems on the tunneled TPU backend, whose
+        # worker kills single program executions beyond ~1 minute —
+        # docs/chip_logs/r5a/probe_watchdog*)
+        self.gmres_segmented = g("gmres_segmented", None)
         self.gmres_warm_start = g("gmres_warm_start", True)
         self.precision = g("precision", "double")
         self.fiber_type = g("fiber_type", "None")
@@ -693,6 +699,25 @@ class System:
         _debug_solve = bool(os.environ.get("SKELLY_DEBUG_SOLVE"))
         restart = self.params.gmres_restart or self._auto_gmres_restart()
         warm_start = bool(p.gmres_warm_start)
+        # segmentation: one GMRES restart cycle per jitted program, driven
+        # from the host (System.step threads the partial solution back as
+        # x0). Auto-on for >1.2e6-DOF systems on accelerators: the tunneled
+        # TPU worker kills single program executions beyond ~1 minute
+        # (docs/chip_logs/r5a/probe_watchdog*), which the one-shot step hits
+        # at that scale. Identical mathematics (restarted GMRES), a cache
+        # rebuild per segment of overhead.
+        if p.gmres_segmented is None:
+            segmented = (self.total_solution_size() > 1_200_000
+                         and jax.default_backend() != "cpu"
+                         and not self.emulated)
+        else:
+            segmented = bool(p.gmres_segmented) and not self.emulated
+        if segmented:
+            # bound the per-program iteration budget too
+            restart = min(restart, 16)
+            logger.info("gmres segmented: one %d-iteration restart cycle "
+                        "per program", restart)
+        self._segmented = segmented
         eta = p.eta
         delay = p.implicit_motor_activation_delay
         has_points = int(np.asarray(self.point_sources.position).shape[0]) > 0
@@ -825,7 +850,7 @@ class System:
 
         @_sys_jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
-                    dt, time, ewald_state=None, plan_state=None):
+                    dt, time, ewald_state=None, plan_state=None, x0=None):
             ev_stk, ev_str = ev_stk0, ev_str0
             # --- boundary conditions (update_boundary_conditions) ---
             bc_minus = [jnp.where(b.minus_clamped | (b.binding_body >= 0), 1, 0)
@@ -1175,7 +1200,11 @@ class System:
                 x_total = s_prev + res.x
                 new_blocks = fs.step_delta(blocks, res.x[:F])
             else:
-                if warm_start:
+                if x0 is not None:
+                    # segmented solve: continue from the previous segment's
+                    # partial solution (host-driven restart cycles)
+                    x_warm = x0
+                elif warm_start:
                     # previous step's solution as the Krylov start: the
                     # implicit solve's unknowns (new fiber X/T, shell density,
                     # body densities/U) evolve by O(dt) between steps, so
@@ -1189,7 +1218,8 @@ class System:
                 else:
                     x_warm = None
                 res = gmres(matvec_fn, b_vec, x_warm, tol=gmres_tol,
-                            restart=restart, precond=precond_fn)
+                            restart=restart, precond=precond_fn,
+                            max_restarts=1 if segmented else 5)
                 x_total = res.x
                 new_blocks = fs.step(blocks, res.x[:F])
 
@@ -1629,24 +1659,48 @@ class System:
                         self.bodies.states())
                     self._plan_seeds += 1
                 extra = (self._ewald_state, self._plan_state)
-            (blocks, new_shell, new_bodies, sol, err, resid, iters, conv,
-             dropped, collision, plan_state_new, rebuilds,
-             *dbg) = self._step_fn(
-                self.fibers.blocks, shell_state, self.bodies.states(),
-                self.point_sources, self.background,
-                jnp.asarray(self.dt, self.dtype),
-                jnp.asarray(self.time, self.dtype),
-                *extra,
-            )
-            if dbg:
-                logger.info("debug-solve: %s",
-                            {k: float(v) for k, v in
-                             jax.device_get(dbg[0]).items()})
-            # one batched readback of every step scalar — per-scalar pulls
-            # each pay a full round trip on tunneled backends
-            (err, resid_h, iters_h, conv_h, dropped_h, coll_h,
-             rebuilds_h) = jax.device_get(
-                (err, resid, iters, conv, dropped, collision, rebuilds))
+            segmented = getattr(self, "_segmented", False)
+            if segmented:
+                # seed segment 0 with the standard warm start (or zeros)
+                x0_dev = (jnp.asarray(self.curr_solution, self.dtype)
+                          if self.params.gmres_warm_start
+                          else jnp.zeros(self.total_solution_size(),
+                                         self.dtype))
+            iters_h = 0
+            prev_resid = None
+            for _seg in range(64):
+                kw = {"x0": x0_dev} if segmented else {}
+                (blocks, new_shell, new_bodies, sol, err, resid, iters,
+                 conv, dropped, collision, plan_state_new, rebuilds,
+                 *dbg) = self._step_fn(
+                    self.fibers.blocks, shell_state, self.bodies.states(),
+                    self.point_sources, self.background,
+                    jnp.asarray(self.dt, self.dtype),
+                    jnp.asarray(self.time, self.dtype),
+                    *extra, **kw,
+                )
+                if dbg:
+                    logger.info("debug-solve: %s",
+                                {k: float(v) for k, v in
+                                 jax.device_get(dbg[0]).items()})
+                # one batched readback of every step scalar — per-scalar
+                # pulls each pay a full round trip on tunneled backends
+                (err, resid_h, seg_iters_h, conv_h, dropped_h, coll_h,
+                 rebuilds_h) = jax.device_get(
+                    (err, resid, iters, conv, dropped, collision, rebuilds))
+                iters_h += int(seg_iters_h)
+                if not segmented or bool(conv_h) or int(dropped_h):
+                    break
+                # continue the restarted solve from the partial solution
+                # unless it stalled (no meaningful residual reduction)
+                if (prev_resid is not None
+                        and not resid_h < 0.97 * prev_resid):
+                    logger.warning(
+                        "segmented gmres stalled at residual %.3e after "
+                        "%d iterations", float(resid_h), iters_h)
+                    break
+                prev_resid = resid_h
+                x0_dev = sol
             if not use_ewald or int(dropped_h) == 0:
                 # keep the plan carry even for steps the caller later
                 # REJECTS: plans were built/refreshed from PRE-step

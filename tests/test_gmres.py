@@ -149,3 +149,56 @@ def test_row_equilibrated_fiber_inverse_finite_and_accurate():
     x = rng.normal(size=n).astype(np.float32)
     y = np.asarray(inv[0]) @ (Ai @ x).astype(np.float32)
     assert np.abs(y - x).max() < 1e-3 * np.abs(x).max()
+
+
+def test_segmented_step_matches_single_program():
+    """Host-driven GMRES restart segmentation (one restart cycle per
+    program + x0 carry, the tunneled-TPU watchdog workaround) must
+    reproduce the one-shot step to solver tolerance."""
+    import numpy as np
+
+    from skellysim_tpu.config import Config, Fiber, perturbed_fiber_positions
+    from skellysim_tpu.system import System
+
+    def make_cfg():
+        # tightly clustered CURVED fibers: bending forces drive the
+        # hydrodynamic coupling (straight fibers have zero bending force
+        # and solve in one iteration), cold start keeps the count high
+        config = Config()
+        config.params.eta = 1.0
+        config.params.dt_initial = 1e-2
+        config.params.dt_max = 1e-2
+        config.params.gmres_tol = 1e-10
+        config.params.pair_evaluator = "direct"
+        config.params.precision = "double"
+        config.params.gmres_warm_start = False
+        rng = np.random.default_rng(7)
+        fibers = []
+        for i in range(12):
+            x = perturbed_fiber_positions(
+                0.08, 1.0, rng.uniform(-0.2, 0.2, size=3),
+                np.array([0.0, 0.0, 1.0]), 8, rng=rng)
+            fibers.append(Fiber(n_nodes=8, length=1.0,
+                                bending_rigidity=0.01, radius=0.0125,
+                                x=x.ravel().tolist()))
+        config.fibers = fibers
+        return config.to_dict()
+
+    s_ref = System(make_cfg())
+    s_ref.step()
+    ref = np.asarray(s_ref.curr_solution)
+    assert s_ref._last_iters > 8           # genuinely coupled solve
+
+    cfg2 = make_cfg()
+    cfg2["params"]["gmres_segmented"] = True
+    cfg2["params"]["gmres_restart"] = 6   # force several segments
+    s_seg = System(cfg2)
+    assert s_seg._segmented
+    err, conv = s_seg.step()
+    assert conv
+    assert s_seg._last_iters > 6          # really crossed a segment boundary
+    got = np.asarray(s_seg.curr_solution)
+    scale = np.abs(ref).max()
+    # both runs meet the same ||b - A x|| <= tol ||b|| criterion; distinct
+    # Krylov paths differ in the SOLUTION by ~condition x residual class
+    np.testing.assert_allclose(got, ref, rtol=0, atol=3e-6 * scale)
