@@ -74,11 +74,12 @@ def build_config(args, geometry=True):
                                      c=4.16, n_nodes=args.shell_nodes,
                                      precompute_file="periphery_precompute.npz")
     else:
+        L = 7.5 * args.shell_scale
         envelope = {
             "height": "0.5 * T * ((1 + 2*x/length)**p1) * ((1 - 2*x/length)**p2)"
                       " * length",
-            "T": 0.72, "p1": 0.4, "p2": 0.2, "length": 7.5,
-            "lower_bound": -3.75, "upper_bound": 3.75,
+            "T": 0.72, "p1": 0.4, "p2": 0.2, "length": L,
+            "lower_bound": -L / 2, "upper_bound": L / 2,
             "n_nodes_target": args.shell_nodes,
         }
         config.periphery = Periphery(shape="surface_of_revolution",
@@ -158,6 +159,10 @@ def main(argv=None):
                          "points allocates 2 GB the tol-1e-4 solve (0-5 "
                          "iters/step) never touches — the r4b retry OOMed "
                          "at compile by 2.8 GB with it")
+    ap.add_argument("--shell-scale", type=float, default=1.0,
+                    help="scale the revolution shell geometry (>=1e6-point "
+                         "runs keep the reference's ~0.1 fiber spacing by "
+                         "growing the surface, not by overlapping fibers)")
     ap.add_argument("--no-hybrid", dest="hybrid", action="store_false",
                     help="force every coupling through the ewald tier "
                          "(disable the measured/heuristic hybrid)")
@@ -197,7 +202,8 @@ def main(argv=None):
     import hashlib
     import pickle
     geo_key = repr((args.shape, args.fibers, args.fiber_nodes,
-                    args.shell_nodes, args.ds_min))
+                    args.shell_nodes, args.ds_min,
+                    getattr(args, "shell_scale", 1.0)))
     cache = f"config_cache_{hashlib.md5(geo_key.encode()).hexdigest()[:10]}.pkl"
     if os.path.exists(cache):
         with open(cache, "rb") as fh:
