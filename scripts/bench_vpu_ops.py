@@ -120,28 +120,36 @@ def _calibrate_ceiling():
     m_rows, m_cols = 256, 2048                           # 2 MiB f32
     m = m_rows * m_cols
     x0 = jnp.linspace(0.5, 1.5, m, dtype=jnp.float32).reshape(m_rows, m_cols)
-    # per-step constants near 1 / 0 keep x in range over 2048 steps
-    cs = [np.float32(1.0 + (i % 7 - 3) * 1e-7) for i in range(8)]
-    ds = [np.float32((i % 5 - 2) * 1e-7) for i in range(8)]
+    # RUNTIME multiplier/addend arrays: constant-coefficient chains got
+    # constant-folded (the first calibrate run measured mul at 5e20 ops/s —
+    # flagged invalid by the spread gate); y ~ 1, z ~ 0 keep x in range,
+    # and folding (x∘y)∘y would need float reassociation of runtime values,
+    # which no compiler performs
+    y0 = (1.0 + 1e-7 * jnp.cos(jnp.linspace(0, 7, m, dtype=jnp.float32))
+          ).reshape(m_rows, m_cols)
+    z0 = (1e-7 * jnp.sin(jnp.linspace(0, 5, m, dtype=jnp.float32))
+          ).reshape(m_rows, m_cols)
 
     def chain(update, steps_per_iter):
         def make(k):
             assert k % 8 == 0 or k == 1
 
-            def kern(x_ref, o_ref):
+            def kern(x_ref, y_ref, z_ref, o_ref):
+                y, z = y_ref[...], z_ref[...]
+
                 def body(i, x):
-                    for j in range(8 if k > 1 else 1):
-                        x = update(x, j)
+                    for _ in range(8 if k > 1 else 1):
+                        x = update(x, y, z)
                     return x
                 o_ref[...] = jax.lax.fori_loop(0, max(k // 8, 1), body,
                                                x_ref[...])
 
             @jax.jit
             def go():
-                y = pl.pallas_call(
+                out = pl.pallas_call(
                     kern, out_shape=jax.ShapeDtypeStruct(
-                        (m_rows, m_cols), jnp.float32))(x0)
-                return jnp.sum(y)
+                        (m_rows, m_cols), jnp.float32))(x0, y0, z0)
+                return jnp.sum(out)
 
             return go
 
@@ -152,10 +160,10 @@ def _calibrate_ceiling():
 
     out = {}
     chains = {
-        "mul": (lambda x, j: x * cs[j], 1, 1.0),
-        "add": (lambda x, j: x + ds[j], 1, 1.0),
-        "fma": (lambda x, j: x * cs[j] + ds[j], 1, 2.0),
-        "logistic": (lambda x, j: x * (cs[j] - ds[j] * x), 1, 3.0),
+        "mul": (lambda x, y, z: x * y, 1, 1.0),
+        "add": (lambda x, y, z: x + z, 1, 1.0),
+        "fma": (lambda x, y, z: x * y + z, 1, 2.0),
+        "logistic": (lambda x, y, z: x * (y - z * x), 1, 3.0),
     }
     best_tflops = 0.0
     for name, (upd, steps, flops) in chains.items():
