@@ -116,8 +116,20 @@ def _calibrate_ceiling():
     co-issue (dual-issue confirmed) and the ceiling is the measured
     co-issued FLOP rate. Returns a dict incl. vpu_ceiling_tflops — the
     max sustained FLOP/s across chains — which bench.py uses as the MFU
-    denominator (persisted to docs/bench_records/vpu_ceiling.json)."""
-    m_rows, m_cols = 256, 2048                           # 2 MiB f32
+    denominator (persisted to docs/bench_records/vpu_ceiling.json).
+
+    First chip run post-mortem (r5b/calibrate attempt 1): the 1-op chains
+    at k=2048 produce ~1 ms marginals — BELOW the tunneled backend's
+    multi-ms jitter — so mul/add clamped to the 1e-12 floor (5e20 "ops/s")
+    and every spread tripped the validity gate, leaving ceiling=0.0. And
+    dependent x←f(x) chains measure the serial-issue rate, not throughput:
+    the production stokeslet (independent work across its 9-component
+    accumulator) sustained 2.76 TFLOP/s, 2.2× the dependent-FMA "ceiling".
+    Fix: (a) per-chain depth sized for ≥10 ms marginals, (b) median of 3
+    (dt1, dt2) pairs, (c) INDEPENDENT multi-stream FMA chains (2/4 parallel
+    recurrences) that expose the instruction-level parallelism real kernels
+    have — the ceiling is the max sustained rate over all valid chains."""
+    m_rows, m_cols = 128, 2048                           # 1 MiB f32
     m = m_rows * m_cols
     x0 = jnp.linspace(0.5, 1.5, m, dtype=jnp.float32).reshape(m_rows, m_cols)
     # RUNTIME multiplier/addend arrays: constant-coefficient chains got
@@ -130,19 +142,27 @@ def _calibrate_ceiling():
     z0 = (1e-7 * jnp.sin(jnp.linspace(0, 5, m, dtype=jnp.float32))
           ).reshape(m_rows, m_cols)
 
-    def chain(update, steps_per_iter):
-        def make(k):
-            assert k % 8 == 0 or k == 1
+    def chain(update, streams, k):
+        """Rate of `streams` independent x←update(x,y,z) recurrences run
+        k steps over the whole block. Returns (elem-steps/s per stream
+        summed over streams, relative spread of the pair differences)."""
+        def make(kk):
+            assert kk % 8 == 0 or kk == 1
 
             def kern(x_ref, y_ref, z_ref, o_ref):
                 y, z = y_ref[...], z_ref[...]
+                xs0 = tuple(x_ref[...] + jnp.float32(0.01 * s)
+                            for s in range(streams))
 
-                def body(i, x):
-                    for _ in range(8 if k > 1 else 1):
-                        x = update(x, y, z)
-                    return x
-                o_ref[...] = jax.lax.fori_loop(0, max(k // 8, 1), body,
-                                               x_ref[...])
+                def body(i, xs):
+                    for _ in range(8 if kk > 1 else 1):
+                        xs = tuple(update(x, y, z) for x in xs)
+                    return xs
+                xs = jax.lax.fori_loop(0, max(kk // 8, 1), body, xs0)
+                acc = xs[0]
+                for x in xs[1:]:
+                    acc = acc + x
+                o_ref[...] = acc
 
             @jax.jit
             def go():
@@ -153,35 +173,65 @@ def _calibrate_ceiling():
 
             return go
 
-        rate, marg = _chain_rate(make, 2048, float(m) * steps_per_iter)
-        rate2, marg2 = _chain_rate(make, 2048, float(m) * steps_per_iter)
-        spread = abs(marg - marg2) / (0.5 * (marg + marg2))
-        return 0.5 * (rate + rate2), spread               # steps·elem / s
+        f1, f2 = make(k), make(2 * k)
+        float(f1()), float(f2())                         # compile + warm
+        pairs = []
+        for _ in range(3):
+            t0 = time.perf_counter(); float(f1())
+            t1 = time.perf_counter(); float(f2())
+            t2 = time.perf_counter()
+            pairs.append((t2 - t1) - (t1 - t0))          # device time of k steps
+        pairs.sort()
+        marg = pairs[1] / k                              # median, per step
+        lo, hi = max(pairs[0], 1e-12), pairs[2]
+        spread = (hi - lo) / max(pairs[1], 1e-12)
+        if pairs[1] < 5e-3:                              # below noise floor
+            return None, spread
+        return float(m) * streams / marg, spread
 
     out = {}
+    # name: (update, streams, k, flops_per_elem_step)
     chains = {
-        "mul": (lambda x, y, z: x * y, 1, 1.0),
-        "add": (lambda x, y, z: x + z, 1, 1.0),
-        "fma": (lambda x, y, z: x * y + z, 1, 2.0),
-        "logistic": (lambda x, y, z: x * (y - z * x), 1, 3.0),
+        "mul": (lambda x, y, z: x * y, 1, 65536, 1.0),
+        "add": (lambda x, y, z: x + z, 1, 65536, 1.0),
+        "fma": (lambda x, y, z: x * y + z, 1, 32768, 2.0),
+        "fma2": (lambda x, y, z: x * y + z, 2, 16384, 2.0),
+        "fma4": (lambda x, y, z: x * y + z, 4, 8192, 2.0),
+        "logistic": (lambda x, y, z: x * (y - z * x), 1, 16384, 3.0),
     }
     best_tflops = 0.0
-    for name, (upd, steps, flops) in chains.items():
-        r, spread = chain(upd, steps)
+    for name, (upd, streams, k, flops) in chains.items():
+        r, spread = chain(upd, streams, k)
+        if r is None:
+            out[name + "_elemops_per_s"] = None
+            out[name + "_repeat_spread"] = round(spread, 3)
+            continue
         out[name + "_elemops_per_s"] = round(r, 0)
         out[name + "_tflops"] = round(r * flops / 1e12, 3)
         out[name + "_repeat_spread"] = round(spread, 3)
-        if spread < 0.15:
+        if spread < 0.25:
             best_tflops = max(best_tflops, r * flops / 1e12)
-    # dual-issue verdict: logistic does 2 ops (mul + FMA) per step — if
-    # its per-step rate matches the single-op chains, both issued together
-    lg, fm = out.get("logistic_elemops_per_s", 0), out.get("fma_elemops_per_s", 1)
-    out["dual_issue_ratio"] = round(lg / fm, 3) if fm else None
-    out["dual_issue_confirmed"] = bool(lg > 0.7 * fm)
+    # dual-issue verdict: fma4 runs 4 INDEPENDENT FMA recurrences — if its
+    # aggregate rate exceeds the dependent chain's, the VPU issues multiple
+    # elementwise ops per lane per cycle (multi-ALU / pipelined issue)
+    fm = out.get("fma_elemops_per_s") or 0
+    fm4 = out.get("fma4_elemops_per_s") or 0
+    out["dual_issue_ratio"] = round(fm4 / fm, 3) if fm else None
+    out["dual_issue_confirmed"] = bool(fm and fm4 > 1.3 * fm)
+    # executed-SLOT issue ceiling: max ops/s over valid chains. This is
+    # bench.py's MFU denominator — nominal-flop TFLOP/s can legitimately
+    # exceed the hardware-FLOP ceiling (CSE + FMA fusion execute fewer ops
+    # than the 30-flops/pair accounting), so MFU is defined in executed
+    # slots: (pairs/s x measured slots/pair) / slot ceiling.
+    valid_rates = [out[n + "_elemops_per_s"] for n in chains
+                   if out.get(n + "_elemops_per_s")
+                   and out.get(n + "_repeat_spread", 1.0) < 0.25]
+    out["slot_ceiling_ops_per_s"] = round(max(valid_rates), 0) if valid_rates else None
     out["vpu_ceiling_tflops"] = round(best_tflops, 3)
-    out["method"] = ("max sustained FLOP/s over op-pure VMEM-resident "
-                     "chains (mul/add/fma/logistic), 2K-K differenced, "
-                     "FMA=2 FLOP")
+    out["method"] = ("max sustained FLOP/s over VMEM-resident chains "
+                     "(mul/add/fma dependent; fma2/fma4 independent "
+                     "streams; logistic), 2K-K differenced, median of 3 "
+                     "pairs, FMA=2 FLOP")
     return out
 
 
@@ -439,6 +489,16 @@ def main():
                        "prices withheld (an elided chain shows up as a "
                        "near-zero or irreproducible margin)")
     print(json.dumps(out))
+    # persist for bench.py's slot-based MFU (slots/pair numerator) — only
+    # when the run passed its own validity gate
+    if valid:
+        rec_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "bench_records")
+        os.makedirs(rec_dir, exist_ok=True)
+        with open(os.path.join(rec_dir, "vpu_ops_latest.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"ops record -> {rec_dir}/vpu_ops_latest.json",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
