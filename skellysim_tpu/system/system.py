@@ -29,13 +29,13 @@ from skellysim_tpu.body import container as bcont
 from skellysim_tpu.io import trajectory as tio
 from skellysim_tpu.periphery import Shell, ShellState
 from skellysim_tpu.periphery import shell as shell_ops
-from skellysim_tpu.solver import gmres
+from skellysim_tpu.solver import GmresResult, gmres, gmres_segment
 from skellysim_tpu.system import fiber_system as fs
 from skellysim_tpu.system.sources import BackgroundFlow, PointSources
 from skellysim_tpu.utils.rng import RNG
 
 
-def _sys_jit(fun):
+def _sys_jit(fun, **jit_kwargs):
     """jax.jit with an optional scoped-vmem override.
 
     XLA:TPU budgets 16 MiB of "scoped" VMEM for per-op scratch; the compile
@@ -61,8 +61,9 @@ def _sys_jit(fun):
                     "falling back to plain jax.jit", kib)
             else:
                 return jax.jit(fun, compiler_options={
-                    "xla_tpu_scoped_vmem_limit_kib": kib_int})
-    return jax.jit(fun)
+                    "xla_tpu_scoped_vmem_limit_kib": kib_int},
+                    **jit_kwargs)
+    return jax.jit(fun, **jit_kwargs)
 
 logger = logging.getLogger("skellysim_tpu")
 
@@ -712,12 +713,24 @@ class System:
                          and not self.emulated)
         else:
             segmented = bool(p.gmres_segmented) and not self.emulated
+        seg_iters = 8
         if segmented:
-            # bound the per-program iteration budget too
-            restart = min(restart, 16)
-            logger.info("gmres segmented: one %d-iteration restart cycle "
-                        "per program", restart)
+            # The per-PROGRAM iteration budget (seg_iters) is watchdog-bound;
+            # the Krylov BASIS (restart) is memory-bound only — the Arnoldi
+            # carry threads through the host loop, so one cycle spans many
+            # programs (gmres_segment). 64 f32 basis vectors at 4M DOF ≈ 1 GB.
+            restart = min(restart, 64)
+            try:
+                seg_iters = max(1, int(os.environ.get(
+                    "SKELLY_GMRES_SEG_ITERS", "8")))
+            except ValueError:
+                seg_iters = 8
+            seg_iters = min(seg_iters, restart)
+            logger.info("gmres segmented: %d-iteration Arnoldi continuation "
+                        "segments of one GMRES(%d) cycle per program",
+                        seg_iters, restart)
         self._segmented = segmented
+        self._seg_restart = restart
         eta = p.eta
         delay = p.implicit_motor_activation_delay
         has_points = int(np.asarray(self.point_sources.position).shape[0]) > 0
@@ -848,9 +861,10 @@ class System:
                               r_all[r_all.shape[0] - Nb:], r_all))
             return specs
 
-        @_sys_jit
         def step_fn(blocks, shell_state, body_states, point_sources, background,
-                    dt, time, ewald_state=None, plan_state=None, x0=None):
+                    dt, time, ewald_state=None, plan_state=None, x0=None,
+                    gmres_carry=None):
+            gmres_carry_out = None
             ev_stk, ev_str = ev_stk0, ev_str0
             # --- boundary conditions (update_boundary_conditions) ---
             bc_minus = [jnp.where(b.minus_clamped | (b.binding_body >= 0), 1, 0)
@@ -1201,8 +1215,9 @@ class System:
                 new_blocks = fs.step_delta(blocks, res.x[:F])
             else:
                 if x0 is not None:
-                    # segmented solve: continue from the previous segment's
-                    # partial solution (host-driven restart cycles)
+                    # segmented solve: x0 is the current CYCLE BASE (the
+                    # warm start for cycle 0; the last LS estimate after a
+                    # host-driven cycle restart)
                     x_warm = x0
                 elif warm_start:
                     # previous step's solution as the Krylov start: the
@@ -1217,9 +1232,27 @@ class System:
                            if has_bodies else []))
                 else:
                     x_warm = None
-                res = gmres(matvec_fn, b_vec, x_warm, tol=gmres_tol,
-                            restart=restart, precond=precond_fn,
-                            max_restarts=1 if segmented else 5)
+                if segmented:
+                    # Arnoldi CONTINUATION, not per-program restarts: each
+                    # program extends one GMRES(restart) cycle by seg_iters
+                    # basis vectors (gmres_segment docstring; restarted
+                    # GMRES(8) stalled at 1.7e-2 on the 4M-DOF cold solve,
+                    # chip log r5b/oocyte_1m_try10)
+                    if x_warm is None:
+                        x_warm = jnp.zeros_like(b_vec)
+                    seg = gmres_segment(matvec_fn, b_vec, x_warm,
+                                        gmres_carry, tol=gmres_tol,
+                                        restart=restart,
+                                        seg_iters=seg_iters,
+                                        precond=precond_fn)
+                    res = GmresResult(
+                        x=seg.x, residual=seg.residual,
+                        iterations=seg.iterations, converged=seg.converged)
+                    gmres_carry_out = seg.carry
+                else:
+                    res = gmres(matvec_fn, b_vec, x_warm, tol=gmres_tol,
+                                restart=restart, precond=precond_fn,
+                                max_restarts=5)
                 x_total = res.x
                 new_blocks = fs.step(blocks, res.x[:F])
 
@@ -1239,7 +1272,15 @@ class System:
             out = (new_blocks, new_shell, new_bodies, x_total, err, res.residual,
                    res.iterations, res.converged, ewald_dropped, collision,
                    new_plan_state, plan_rebuilds)
+            if segmented:
+                out = out + (gmres_carry_out,)
             return out + (dbg,) if _debug_solve else out
+
+        # donate the Arnoldi carry: segments >=1 would otherwise hold BOTH
+        # the input and output (m+1, n) Krylov bases live (~2x basis HBM;
+        # the host never reuses a superseded carry)
+        step_fn = (_sys_jit(step_fn, donate_argnames=("gmres_carry",))
+                   if segmented else _sys_jit(step_fn))
 
         if plan_reuse:
             @_sys_jit
@@ -1667,18 +1708,27 @@ class System:
                           else jnp.zeros(self.total_solution_size(),
                                          self.dtype))
             iters_h = 0
+            cycle_base_iters = 0
             prev_resid = None
-            for _seg in range(64):
-                kw = {"x0": x0_dev} if segmented else {}
+            stalled_segs = 0
+            carry_dev = None
+            seg_m = getattr(self, "_seg_restart", 0)
+            for _seg in range(256):
+                kw = ({"x0": x0_dev, "gmres_carry": carry_dev}
+                      if segmented else {})
                 (blocks, new_shell, new_bodies, sol, err, resid, iters,
                  conv, dropped, collision, plan_state_new, rebuilds,
-                 *dbg) = self._step_fn(
+                 *rest) = self._step_fn(
                     self.fibers.blocks, shell_state, self.bodies.states(),
                     self.point_sources, self.background,
                     jnp.asarray(self.dt, self.dtype),
                     jnp.asarray(self.time, self.dtype),
                     *extra, **kw,
                 )
+                if segmented:
+                    carry_dev, *dbg = rest
+                else:
+                    dbg = rest
                 if dbg:
                     logger.info("debug-solve: %s",
                                 {k: float(v) for k, v in
@@ -1688,19 +1738,31 @@ class System:
                 (err, resid_h, seg_iters_h, conv_h, dropped_h, coll_h,
                  rebuilds_h) = jax.device_get(
                     (err, resid, iters, conv, dropped, collision, rebuilds))
-                iters_h += int(seg_iters_h)
+                # `iters` counts inner iterations of the CURRENT cycle
+                iters_h = cycle_base_iters + int(seg_iters_h)
                 if not segmented or bool(conv_h) or int(dropped_h):
                     break
-                # continue the restarted solve from the partial solution
-                # unless it stalled (no meaningful residual reduction)
-                if (prev_resid is not None
-                        and not resid_h < 0.97 * prev_resid):
-                    logger.warning(
-                        "segmented gmres stalled at residual %.3e after "
-                        "%d iterations", float(resid_h), iters_h)
-                    break
+                # stall guard: the Arnoldi continuation's LS residual is
+                # monotone within a cycle, so no-improvement segments mean
+                # genuine stagnation (e.g. preconditioner breakdown), not
+                # restart cycling — but allow one plateau segment before
+                # giving up
+                if prev_resid is not None and not resid_h < 0.99 * prev_resid:
+                    stalled_segs += 1
+                    if stalled_segs >= 2:
+                        logger.warning(
+                            "segmented gmres stalled at residual %.3e "
+                            "after %d iterations", float(resid_h), iters_h)
+                        break
+                else:
+                    stalled_segs = 0
                 prev_resid = resid_h
-                x0_dev = sol
+                if int(seg_iters_h) >= seg_m:
+                    # basis full: restart the cycle from the current LS
+                    # estimate (plain restarted GMRES(m) semantics)
+                    cycle_base_iters = iters_h
+                    x0_dev = sol
+                    carry_dev = None
             if not use_ewald or int(dropped_h) == 0:
                 # keep the plan carry even for steps the caller later
                 # REJECTS: plans were built/refreshed from PRE-step
