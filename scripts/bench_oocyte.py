@@ -63,6 +63,8 @@ def build_config(args, geometry=True):
     p.ewald_near_poly = args.near_poly
     if args.gmres_restart is not None:
         p.gmres_restart = args.gmres_restart
+    if args.gmres_segmented:
+        p.gmres_segmented = True
     p.fiber_precond_bf16 = args.fiber_precond_bf16
     p.ewald_hybrid = args.hybrid
 
@@ -153,6 +155,9 @@ def main(argv=None):
                          "r_cut; 0 = rebuild plans every step)")
     ap.add_argument("--ds-min", type=float, default=0.03,
                     help="minimum fiber spacing on the periphery surface")
+    ap.add_argument("--gmres-segmented", action="store_true",
+                    help="force params.gmres_segmented (Arnoldi-continuation "
+                         "segments) below the 1.2M-DOF auto threshold")
     ap.add_argument("--gmres-restart", type=int, default=None,
                     help="params.gmres_restart override. The auto cap sizes "
                          "the Krylov basis from HBM (15%%), which at 1M "

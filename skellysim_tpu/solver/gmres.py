@@ -267,16 +267,26 @@ def gmres_segment(
     safe_b_norm = jnp.where(b_norm > 0.0, b_norm, 1.0)
     tol_abs = tol * safe_b_norm
 
-    if carry is None:
+    def _cycle_init(V_buf):
         r = b - matvec(x0)
         beta = _norm(r)
-        V0 = jnp.zeros((m + 1, n), dtype)
-        V0 = V0.at[0].set(jnp.where(beta > 0.0, r / jnp.where(beta > 0.0, beta, 1.0), r))
-        carry = GmresCarry(
+        V0 = V_buf.at[0].set(jnp.where(beta > 0.0, r / jnp.where(beta > 0.0, beta, 1.0), r))
+        return GmresCarry(
             V=V0, H=jnp.zeros((m + 1, m), dtype),
             cs=jnp.zeros(m, dtype), sn=jnp.zeros(m, dtype),
             g=jnp.zeros(m + 1, dtype).at[0].set(beta),
             j=jnp.asarray(0, jnp.int32), res=beta)
+
+    if carry is None:
+        carry = _cycle_init(jnp.zeros((m + 1, n), dtype))
+    else:
+        # j < 0 is the host's "start a cycle" sentinel: initializing under
+        # lax.cond keeps ONE compiled program for every segment — a second
+        # specialization at >=1e6-point scale would leave two full-step
+        # executables resident (chip log r5b/oocyte_1m_try12-14)
+        carry = jax.lax.cond(carry.j < 0,
+                             lambda c: _cycle_init(c.V),
+                             lambda c: c, carry)
 
     arnoldi_iter = _make_arnoldi_iter(matvec, M, _norm, _proj, m, dtype)
     j_end = jnp.minimum(carry.j + seg_iters, m)

@@ -29,7 +29,8 @@ from skellysim_tpu.body import container as bcont
 from skellysim_tpu.io import trajectory as tio
 from skellysim_tpu.periphery import Shell, ShellState
 from skellysim_tpu.periphery import shell as shell_ops
-from skellysim_tpu.solver import GmresResult, gmres, gmres_segment
+from skellysim_tpu.solver import (GmresCarry, GmresResult, gmres,
+                                  gmres_segment)
 from skellysim_tpu.system import fiber_system as fs
 from skellysim_tpu.system.sources import BackgroundFlow, PointSources
 from skellysim_tpu.utils.rng import RNG
@@ -1675,6 +1676,18 @@ class System:
         self._step_fn = self._build_step_fn()
         self._velocity_fn = self._build_velocity_fn()
 
+    def _gmres_carry_sentinel(self):
+        """Fresh j=-1 Arnoldi carry (gmres_segment initializes the cycle
+        in-program; one executable serves every segment)."""
+        m = self._seg_restart
+        n = int(self.total_solution_size())
+        dt = self.dtype
+        return GmresCarry(
+            V=jnp.zeros((m + 1, n), dt), H=jnp.zeros((m + 1, m), dt),
+            cs=jnp.zeros(m, dt), sn=jnp.zeros(m, dt),
+            g=jnp.zeros(m + 1, dt), j=jnp.asarray(-1, jnp.int32),
+            res=jnp.asarray(jnp.inf, dt))
+
     def step(self):
         """One trial step at the current dt. Returns (fiber_error, converged)."""
         if self.dynamic_instability():
@@ -1707,11 +1720,15 @@ class System:
                           if self.params.gmres_warm_start
                           else jnp.zeros(self.total_solution_size(),
                                          self.dtype))
+                # j = -1 sentinel: the program initializes the cycle under
+                # lax.cond, so EVERY segment runs the same executable (a
+                # carry=None specialization would keep a second full-step
+                # program resident; see gmres_segment)
+                carry_dev = self._gmres_carry_sentinel()
             iters_h = 0
             cycle_base_iters = 0
             prev_resid = None
             stalled_segs = 0
-            carry_dev = None
             seg_m = getattr(self, "_seg_restart", 0)
             for _seg in range(256):
                 kw = ({"x0": x0_dev, "gmres_carry": carry_dev}
@@ -1759,10 +1776,13 @@ class System:
                 prev_resid = resid_h
                 if int(seg_iters_h) >= seg_m:
                     # basis full: restart the cycle from the current LS
-                    # estimate (plain restarted GMRES(m) semantics)
+                    # estimate (plain restarted GMRES(m) semantics); the
+                    # j=-1 flip re-triggers the in-program cycle init and
+                    # reuses the carry buffers (stale V rows are masked)
                     cycle_base_iters = iters_h
                     x0_dev = sol
-                    carry_dev = None
+                    carry_dev = carry_dev._replace(
+                        j=jnp.asarray(-1, jnp.int32))
             if not use_ewald or int(dropped_h) == 0:
                 # keep the plan carry even for steps the caller later
                 # REJECTS: plans were built/refreshed from PRE-step

@@ -96,6 +96,29 @@ def test_cycle_restart_converges_hard_case():
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9
 
 
+def test_sentinel_carry_matches_none_and_restart_reuses_buffers():
+    """A j=-1 sentinel carry must behave exactly like carry=None (the
+    single-executable path), including when the sentinel's V holds STALE
+    rows from a previous cycle (the host reuses the buffers on restart)."""
+    matvec, b, *_ = _system(seed=13)
+    x0 = jnp.zeros_like(b)
+    ref = gmres_segment(matvec, b, x0, None, tol=1e-12, restart=20,
+                        seg_iters=8)
+    n = b.shape[0]
+    stale = GmresCarry(
+        V=jnp.full((21, n), 7.7, b.dtype), H=jnp.full((21, 20), 3.3, b.dtype),
+        cs=jnp.ones(20, b.dtype), sn=jnp.ones(20, b.dtype),
+        g=jnp.ones(21, b.dtype), j=jnp.asarray(-1, jnp.int32),
+        res=jnp.asarray(jnp.inf, b.dtype))
+    seg = gmres_segment(matvec, b, x0, stale, tol=1e-12, restart=20,
+                        seg_iters=8)
+    assert int(seg.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(seg.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(float(seg.residual), float(ref.residual),
+                               rtol=1e-12, atol=0)
+
+
 def test_nonfinite_rhs_poisons_segment():
     matvec, b, *_ = _system()
     b = b.at[0].set(jnp.nan)
