@@ -33,7 +33,7 @@ def build_config(args, geometry=True):
     config = Config()
     p = config.params
     p.eta = 1.0
-    p.dt_initial = 1e-2
+    p.dt_initial = args.dt_initial
     p.dt_max = 1e-2
     p.dt_write = 1.0
     p.t_final = 10.0
@@ -155,6 +155,10 @@ def main(argv=None):
                          "r_cut; 0 = rebuild plans every step)")
     ap.add_argument("--ds-min", type=float, default=0.03,
                     help="minimum fiber spacing on the periphery surface")
+    ap.add_argument("--dt-initial", type=float, default=1e-2,
+                    help="initial timestep (cold-start solves condition "
+                         "as ~I + dt*K; a dt ramp is the standard entry "
+                         "into stiff large-N configs)")
     ap.add_argument("--gmres-segmented", action="store_true",
                     help="force params.gmres_segmented (Arnoldi-continuation "
                          "segments) below the 1.2M-DOF auto threshold")

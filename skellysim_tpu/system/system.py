@@ -1257,6 +1257,17 @@ class System:
                 x_total = res.x
                 new_blocks = fs.step(blocks, res.x[:F])
 
+            if _debug_solve:
+                # per-block FINAL residual split: a converged fiber block +
+                # a plateaued shell/body block means the stall lives in that
+                # block's preconditioner, not in the Krylov process
+                r_final = b_vec - matvec_impl(x_total)
+                dbg.update({
+                    "r_final_norm": jnp.linalg.norm(r_final),
+                    "r_final_fib": jnp.linalg.norm(r_final[:F]),
+                    "r_final_rest": jnp.linalg.norm(r_final[F:]),
+                })
+
             new_shell = (shell_state.replace(solution=x_total[F:FS])
                          if has_shell else shell_state)
             if has_bodies:
