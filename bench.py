@@ -134,19 +134,29 @@ def _bench_system_step(n_fibers=64, n_nodes=32, evaluator="direct"):
     return max(total - readback, 1e-9) / iters
 
 
-def _load_cached_record():
-    """Newest committed record in docs/bench_records/ (deep-leg fallback)."""
-    best, best_t = None, -1.0
+def _load_cached_record(keys=("crossover_ms_per_apply",
+                              "oocyte_reference_config")):
+    """Per-KEY newest non-empty value across committed records in
+    docs/bench_records/. A budget-limited run persists its record with
+    empty deep legs; taking the newest record wholesale would let that
+    shadow an older complete sweep (observed: bench_5d977de clobbered the
+    0506648 crossover table)."""
+    recs = []
     for path in glob.glob(os.path.join(_REC_DIR, "bench_*.json")):
-        t = os.path.getmtime(path)
-        if t > best_t:
-            try:
-                with open(path) as fh:
-                    rec = json.load(fh)
-                best, best_t = (rec, os.path.basename(path)), t
-            except Exception:
-                continue
-    return best  # (record, filename) or None
+        try:
+            with open(path) as fh:
+                recs.append((os.path.getmtime(path), os.path.basename(path),
+                             json.load(fh)))
+        except Exception:
+            continue
+    recs.sort(reverse=True)                      # newest first
+    out = {}
+    for key in keys:
+        for _, fname, rec in recs:
+            if rec.get(key):
+                out[key] = (rec[key], fname)
+                break
+    return out or None  # {key: (value, filename)} or None
 
 
 def _crossover_sweep(dev, sizes=(20000, 100000, 300000)):
@@ -490,11 +500,9 @@ def main():
         "oocyte_reference_config": {},
     }
     if cached:
-        rec, fname = cached
-        for key in ("crossover_ms_per_apply", "oocyte_reference_config"):
-            if rec.get(key):
-                record[key] = rec[key]
-                record[key + "_source"] = f"cached:{fname}"
+        for key, (val, fname) in cached.items():
+            record[key] = val
+            record[key + "_source"] = f"cached:{fname}"
     print(json.dumps(record))
     sys.stdout.flush()
 
