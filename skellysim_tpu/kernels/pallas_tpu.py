@@ -106,9 +106,14 @@ def _stresslet_kernel(src_ref, s_ref, trg_ref, out_ref):
         dy = ty - sy
         dz = tz - sz
         r2 = dx * dx + dy * dy + dz * dz
-        # single select (see _stokeslet_kernel): the unpicked inf lane is
-        # dropped by the where, never combined
-        rinv = jnp.where(r2 > 0.0, jax.lax.rsqrt(r2), 0.0)
+        # double-where guard: measured FASTER than the single-select form
+        # on every valid A/B (r4 vpu_ops3 −0.73, r5b a/c −0.16/−0.28
+        # ps/pair) — plausibly the guarded rsqrt avoids the slow
+        # inf-producing path in the transcendental unit. The stokeslet
+        # keeps single-select: its A/B never showed a reproducible margin.
+        nonzero = r2 > 0.0
+        rinv = jnp.where(nonzero, jax.lax.rsqrt(jnp.where(nonzero, r2, 1.0)),
+                         0.0)
         rinv2 = rinv * rinv
         rinv5 = rinv2 * rinv2 * rinv
 
