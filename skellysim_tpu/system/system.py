@@ -1794,6 +1794,16 @@ class System:
                     x0_dev = sol
                     carry_dev = carry_dev._replace(
                         j=jnp.asarray(-1, jnp.int32))
+            dump = os.environ.get("SKELLY_DUMP_SOLVE")
+            if dump and segmented:
+                # offline slow-mode analysis (the 31k-fiber crawl,
+                # VALIDATION "1M conclusion"): the span of successive
+                # segment solutions approximates the stagnating subspace a
+                # deflation preconditioner must capture
+                np.savez(dump, sol=np.asarray(sol),
+                         cycle_base=np.asarray(x0_dev),
+                         resid=float(resid_h), iters=int(iters_h))
+                logger.info("solve state dumped to %s", dump)
             if not use_ewald or int(dropped_h) == 0:
                 # keep the plan carry even for steps the caller later
                 # REJECTS: plans were built/refreshed from PRE-step
